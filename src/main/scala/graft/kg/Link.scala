@@ -1,0 +1,209 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Model._
+
+/** S4/S5 — entity linking: surface-form mentions → canonical keys → GUIDs.
+  *
+  * Spark realization of the reference's Entity Registry ("Lookup by TUID",
+  * `docs/diagrams/megamind.drawio:55-58`) + the north rule's "blocked
+  * similarity joins (MinHash/LSH blocking + broadcast dictionary join for hot
+  * entities)". Three tiers, cheapest first:
+  *
+  *  1. '''Normalization''' (free, per-row expression): lowercase, trim,
+  *     collapse whitespace — removes case/spacing jitter with zero shuffle.
+  *  2. '''Broadcast dictionary join''': a curated (hot-entity) alias table
+  *     `(entity_type, variant_norm, canonical_norm)` broadcast to every task —
+  *     the high-frequency path never shuffles (megamind's Cacher/etcd analog).
+  *  3. '''MinHash-LSH fuzzy matching''' over character-3-gram shingles:
+  *     band signatures are exploded into `(type, band_idx, band_hash)` keys
+  *     and candidate pairs found by an equi-join on those keys — a blocked
+  *     similarity join Catalyst executes as a plain shuffle join (AQE-visible,
+  *     skew-splittable). Candidates are verified with exact Jaccard ≥ τ, so
+  *     blocking only affects recall, never precision. Fuzzy pairs become
+  *     same-as edges for connected-components canonicalization.
+  *
+  * GUIDs are minted content-derived — `sha2(type|canonical_key, 256)` —
+  * so linking is idempotent across reruns and batches (no sequence, no
+  * random state): the Spark analog of megamind's deterministic convergence.
+  */
+object Link {
+
+  final case class Config(
+      fuzzy: Boolean = true,
+      numHashes: Int = 24,
+      bands: Int = 8, // rows-per-band = numHashes / bands
+      jaccardThreshold: Double = 0.7,
+      /** entity types eligible for fuzzy matching (id-like types such as
+        * Order must never fuzzy-merge: "1" vs "2" are distinct entities). */
+      fuzzyTypes: Seq[String] = Seq("Person", "Org", "City", "Nation"))
+
+  /** lowercase + trim + collapse internal whitespace. */
+  def normKey(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** GUID mint — deterministic, content-derived (SURVEY §2.2-S5). */
+  def guidFor(entityType: Column, canonicalKey: Column): Column =
+    sha2(concat(entityType, lit("|"), canonicalKey), 256)
+
+  /** Scala-side mirrors for the in-memory oracle. */
+  def normKeyScala(s: String): String =
+    s.toLowerCase.trim.replaceAll("\\s+", " ")
+  def guidForScala(entityType: String, canonicalKey: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$entityType|$canonicalKey".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** All distinct mentions `(entity_type, norm_key)` in a raw-triple frame —
+    * both subject side and entity-object side. */
+  def mentions(raw: DataFrame): DataFrame = {
+    val subj = raw.select(col("subj_type").as("entity_type"),
+      normKey(col("subj_tuid")).as("norm_key"))
+    val obj = raw.filter(col("obj_kind") === ObjKind.Subject)
+      .select(col("obj_type").as("entity_type"), normKey(col("obj_tuid")).as("norm_key"))
+    // partial-agg dedupe on each side before the union keeps the shuffle small
+    subj.unionByName(obj).distinct()
+  }
+
+  /** Tier-2: apply the broadcast alias dictionary.
+    * dict columns: entity_type, variant_norm, canonical_norm. */
+  def applyDict(ments: DataFrame, dict: DataFrame): DataFrame =
+    ments.join(broadcast(dict),
+        ments("entity_type") === dict("entity_type") &&
+          ments("norm_key") === dict("variant_norm"), "left")
+      .select(ments("entity_type"), ments("norm_key"),
+        coalesce(dict("canonical_norm"), ments("norm_key")).as("dict_key"))
+
+  // -- Tier-3: MinHash-LSH ----------------------------------------------------
+
+  /** Character 3-gram shingle set of a normalized key (deterministic). */
+  def shingles(s: String): Set[String] =
+    if (s.length < 3) Set(s) else s.sliding(3).toSet
+
+  def jaccard(a: String, b: String): Double = {
+    val (sa, sb) = (shingles(a), shingles(b))
+    val inter = sa.intersect(sb).size
+    if (inter == 0) 0.0 else inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** Stateless MinHash band signature. Hand-rolled rather than
+    * `spark.ml.feature.MinHashLSH`: plain long arithmetic over string hash
+    * codes avoids mllib's Vector boxing and keeps this a codegen-friendly
+    * column pipeline after the flatMap.
+    */
+  def bandSignature(key: String, numHashes: Int, bands: Int): Seq[(Int, Long)] = {
+    val sh = shingles(key)
+    val rowsPerBand = numHashes / bands
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { g =>
+      val h0 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c).toLong & 0xffffffffL
+      var i = 0
+      while (i < numHashes) {
+        // universal hashing: h_i(x) = a_i * x + b_i mod p (p = 2^61 - 1)
+        val a = 0x5DEECE66DL * (i + 1) + 11L
+        val b = 0x2545F4914F6CDD1DL ^ (i * 0x9E3779B97F4A7C15L)
+        val v = (a * h0 + b) & 0x1fffffffffffffffL
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    (0 until bands).map { bi =>
+      var acc = 1125899906842597L
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = acc * 31 + mins(bi * rowsPerBand + r)
+        r += 1
+      }
+      (bi, acc)
+    }
+  }
+
+  /** Fuzzy same-as discovery: LSH-blocked candidate pairs + exact-Jaccard
+    * verification. Returns (entity_type, key_a, key_b) with key_a < key_b. */
+  def fuzzySameAs(keys: DataFrame, cfg: Config): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val eligible = keys.filter($"entity_type".isin(cfg.fuzzyTypes: _*))
+      .select($"entity_type", $"dict_key").distinct()
+
+    val banded = eligible.as[(String, String)].flatMap { case (et, key) =>
+      bandSignature(key, cfg.numHashes, cfg.bands).map { case (b, h) => (et, key, b, h) }
+    }.toDF("entity_type", "key", "band", "band_hash")
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        $"a.entity_type" === $"b.entity_type" && $"a.band" === $"b.band" &&
+          $"a.band_hash" === $"b.band_hash" && $"a.key" < $"b.key")
+      .select($"a.entity_type".as("entity_type"), $"a.key".as("key_a"), $"b.key".as("key_b"))
+      .distinct()
+
+    val verify = udf((x: String, y: String) => jaccard(x, y))
+    candidates.filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold)
+  }
+
+  /** Full linking: mentions → dict keys → fuzzy same-as edges → CC canonical
+    * map. Returns `(entity_type, norm_key, canonical_key, guid)` — the
+    * TUID→GUID registry, ready to join against raw triples.
+    */
+  def registry(raw: DataFrame, dict: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val ments = applyDict(mentions(raw), dict)
+
+    val canonical =
+      if (cfg.fuzzy) {
+        val sameAs = fuzzySameAs(ments, cfg)
+        val cc = Canonicalize.connectedComponents(
+          sameAs.select($"entity_type", $"key_a", $"key_b"))
+        ments.join(cc,
+            ments("entity_type") === cc("entity_type") && ments("dict_key") === cc("key"),
+            "left")
+          .select(ments("entity_type"), ments("norm_key"),
+            coalesce(cc("component"), ments("dict_key")).as("canonical_key"))
+      } else {
+        ments.select($"entity_type", $"norm_key", $"dict_key".as("canonical_key"))
+      }
+
+    canonical.withColumn("guid", guidFor($"entity_type", $"canonical_key"))
+  }
+
+  /** Rewrite raw triples to canonical GUIDs using the registry (S5 labeling:
+    * "raw" subgraph → "labeled" subgraph, `megamind.drawio:19,40`). Two left
+    * joins — subject side and entity-object side. The registry is usually far
+    * smaller than the triple set (distinct entities ≪ mentions), so we hint
+    * broadcast; AQE demotes to shuffle join if it is too big.
+    */
+  def label(raw: DataFrame, registry: DataFrame): DataFrame = {
+    val reg = registry.select(col("entity_type"), col("norm_key"),
+      col("canonical_key"), col("guid"))
+
+    val rs = reg.select(col("entity_type").as("s_et"), col("norm_key").as("s_nk"),
+      col("canonical_key").as("s_ck"), col("guid").as("s_guid"))
+    val ro = reg.select(col("entity_type").as("o_et"), col("norm_key").as("o_nk"),
+      col("canonical_key").as("o_ck"), col("guid").as("o_guid"))
+
+    raw
+      .withColumn("subj_nk", normKey(col("subj_tuid")))
+      .withColumn("obj_nk", normKey(col("obj_tuid")))
+      .join(broadcast(rs),
+        col("subj_type") === col("s_et") && col("subj_nk") === col("s_nk"), "left")
+      .join(broadcast(ro),
+        col("obj_kind") === ObjKind.Subject &&
+          col("obj_type") === col("o_et") && col("obj_nk") === col("o_nk"), "left")
+      .select(
+        col("conv_id"), col("turn_idx"),
+        col("subj_type"),
+        coalesce(col("s_guid"), guidFor(col("subj_type"), col("subj_nk"))).as("subj_guid"),
+        coalesce(col("s_ck"), col("subj_nk")).as("subj_key"),
+        col("pred"), col("obj_kind"),
+        col("obj_type"),
+        when(col("obj_kind") === ObjKind.Subject,
+          coalesce(col("o_guid"), guidFor(col("obj_type"), col("obj_nk")))).as("obj_guid"),
+        when(col("obj_kind") === ObjKind.Subject,
+          coalesce(col("o_ck"), col("obj_nk"))).as("obj_key"),
+        col("obj_string"), col("obj_int64"), col("obj_float64"))
+  }
+}

@@ -127,13 +127,55 @@ object Extract {
     (out.result(), person)
   }
 
-  /** Distributed extraction over reconstructed (deduped, stably ordered)
-    * turns. Pronoun resolution = `last(person_mention, ignoreNulls)` over the
-    * conversation window — the only cross-row dependency, satisfied by the
-    * same `conv_id` partitioning Reconstruct already shuffled into, so
-    * Catalyst reuses the exchange (one shuffle total for S2+S3).
+  /** Fused S2+S3: replay dedup + stable ordering + extraction + pronoun
+    * resolution in ONE shuffle. Classic secondary-sort: repartition by
+    * `conv_id` hash, sort within partitions by the full deterministic key,
+    * then a single streaming `mapPartitions` pass with O(1) state per
+    * conversation (previous turn_idx for dedup, last named Person for
+    * pronouns). Preferred over window functions here because the extractor
+    * is a `mapPartitions` anyway — windows before/after it cannot share its
+    * exchange (object-mapped stages erase partitioning info), so the fused
+    * form saves a full extra shuffle AND keeps the conversation loop
+    * byte-identical to the in-memory oracle's.
+    *
+    * Skew: a hot conversation serializes only its own rows (per-turn work is
+    * O(1)); partitions hold many conversations, and AQE rebalances
+    * post-shuffle partition sizes.
     */
-  def extract(turns: Dataset[Turn]): DataFrame = {
+  def extract(turns: Dataset[Turn], partitions: Option[Int] = None): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val n = partitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    turns
+      .repartition(n, $"conv_id")
+      .sortWithinPartitions($"conv_id", $"turn_idx", $"ts", $"role", $"tool", $"text")
+      .mapPartitions { it =>
+        var curConv: String = null
+        var lastPerson: Option[String] = None
+        var prevIdx = Int.MinValue
+        it.flatMap { tu =>
+          if (tu.conv_id != curConv) {
+            curConv = tu.conv_id; lastPerson = None; prevIdx = Int.MinValue
+          }
+          if (tu.turn_idx == prevIdx) Iterator.empty // replay: first row won
+          else {
+            prevIdx = tu.turn_idx
+            val (ts, person) = extractTurn(tu.conv_id, tu.turn_idx, tu.role, tu.tool, tu.text)
+            if (person.isDefined) lastPerson = person
+            ts.iterator.flatMap { t =>
+              if (t.subj_tuid == PronounTuid) lastPerson.map(p => t.copy(subj_tuid = p))
+              else Some(t)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Window-function formulation of the same semantics (used by tests to
+    * cross-check the fused path, and as the reference shape when extraction
+    * is column-expressible). */
+  def extractWindowed(turns: Dataset[Turn]): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
 

@@ -128,9 +128,12 @@ object Link {
     val eligible = keys.filter($"entity_type".isin(cfg.fuzzyTypes: _*))
       .select($"entity_type", $"dict_key").distinct()
 
+    // materialized once: both sides of the self-join below would otherwise
+    // recompute the shingle/minhash flatMap (no common-subplan sharing)
     val banded = eligible.as[(String, String)].flatMap { case (et, key) =>
       bandSignature(key, cfg.numHashes, cfg.bands).map { case (b, h) => (et, key, b, h) }
     }.toDF("entity_type", "key", "band", "band_hash")
+      .localCheckpoint(eager = true)
 
     val a = banded.as("a")
     val b = banded.as("b")
@@ -151,15 +154,21 @@ object Link {
   def registry(raw: DataFrame, dict: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val ments = applyDict(mentions(raw), dict)
+    // distinct mention set: small (entities ≪ mentions); materialized once,
+    // consumed by both the fuzzy chain and the canonical-map join
+    val ments = applyDict(mentions(raw), dict).localCheckpoint(eager = true)
 
     val canonical =
       if (cfg.fuzzy) {
         val sameAs = fuzzySameAs(ments, cfg)
+        // rename before joining: cc derives from ments, so unrenamed columns
+        // would make this an ambiguous self-join
         val cc = Canonicalize.connectedComponents(
-          sameAs.select($"entity_type", $"key_a", $"key_b"))
+            sameAs.select($"entity_type", $"key_a", $"key_b"))
+          .select($"entity_type".as("cc_et"), $"key".as("cc_key"),
+            $"component".as("component"))
         ments.join(cc,
-            ments("entity_type") === cc("entity_type") && ments("dict_key") === cc("key"),
+            ments("entity_type") === cc("cc_et") && ments("dict_key") === cc("cc_key"),
             "left")
           .select(ments("entity_type"), ments("norm_key"),
             coalesce(cc("component"), ments("dict_key")).as("canonical_key"))

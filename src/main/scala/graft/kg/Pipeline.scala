@@ -43,9 +43,14 @@ object Pipeline {
 
   def run(turns: Dataset[Turn], dict: DataFrame,
       linkCfg: Link.Config = Link.Config()): Result = {
-    val ordered = Reconstruct(turns)
-    val raw = Extract.extract(ordered)
-    val reg = Link.registry(raw, dict, linkCfg)
+    // fused S2+S3 (dedup + order + extract, one shuffle). Materialized once:
+    // raw triples feed four downstream subtrees (subject mentions, object
+    // mentions, fuzzy linking, labeling) and Spark does not share common
+    // subplans across join sides — without the checkpoint the extraction
+    // re-runs per consumer. On a cluster this boundary is a staging table;
+    // locally localCheckpoint gives the same cut (and truncates lineage).
+    val raw = Extract.extract(turns).localCheckpoint(eager = true)
+    val reg = Link.registry(raw, dict, linkCfg).localCheckpoint(eager = true)
     val labeled = Link.label(raw, reg)
     Result(Materialize.edges(labeled), Materialize.nodes(reg), reg)
   }

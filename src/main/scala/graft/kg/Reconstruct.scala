@@ -27,16 +27,23 @@ import graft.model.Model._
   */
 object Reconstruct {
 
-  /** Deduplicate replays; result is one row per (conv_id, turn_idx). */
+  /** Deduplicate replays; result is one row per (conv_id, turn_idx).
+    *
+    * Implemented with a window partitioned by `conv_id` ONLY (ordered by the
+    * full deterministic key, keeping the first row of each `turn_idx` run)
+    * rather than by `(conv_id, turn_idx)`: downstream extraction windows
+    * also partition by `conv_id`, so Catalyst reuses this exchange and sort —
+    * reconstruction + extraction cost a single shuffle total (visible as one
+    * Exchange in the physical plan). */
   def apply(turns: Dataset[Turn]): Dataset[Turn] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"conv_id", $"turn_idx")
-      .orderBy($"ts".asc, $"role".asc, $"tool".asc, $"text".asc)
+    val w = Window.partitionBy($"conv_id")
+      .orderBy($"turn_idx".asc, $"ts".asc, $"role".asc, $"tool".asc, $"text".asc)
     turns
-      .withColumn("__rn", row_number().over(w))
-      .filter($"__rn" === 1)
-      .drop("__rn")
+      .withColumn("__prev_idx", lag($"turn_idx", 1).over(w))
+      .filter($"__prev_idx".isNull || $"__prev_idx" =!= $"turn_idx")
+      .drop("__prev_idx")
       .as[Turn]
   }
 }

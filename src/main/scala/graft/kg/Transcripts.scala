@@ -124,21 +124,24 @@ object Transcripts {
     s"${firstNames((i * 7) % firstNames.size)} ${lastNames((i * 13) % lastNames.size)}"
   }
 
-  /** Apply seeded surface-form noise: dictionary alias on the first name,
-    * case jitter, whitespace jitter — the Link stage's food. */
+  /** Apply seeded surface-form noise — the Link stage's food. Exactly one
+    * variant per mention so each noise class maps to one linking tier:
+    * case/space jitter → normalization; first-name alias → broadcast
+    * dictionary; dropped trailing char → MinHash/LSH fuzzy matching
+    * (3-gram Jaccard ≈ 0.9 vs the canonical form, well over the 0.7
+    * threshold, while distinct people stay far below it). */
   private def noisy(r: scala.util.Random, canonical: String): String = {
     val parts = canonical.split(" ", 2)
-    val first0 = parts(0)
-    val first = aliasInv.get(first0) match {
-      case Some(vs) if r.nextDouble() < 0.3 => vs(r.nextInt(vs.size))
-      case _ => first0
-    }
-    val name = if (parts.length > 1) s"$first ${parts(1)}" else first
-    r.nextInt(4) match {
-      case 0 => name.toUpperCase
-      case 1 => name.toLowerCase
-      case 2 => name.replace(" ", "  ") // double-space jitter
-      case _ => name
+    r.nextInt(6) match {
+      case 0 => canonical
+      case 1 => canonical.toUpperCase
+      case 2 => canonical.toLowerCase
+      case 3 => canonical.replace(" ", "  ") // double-space jitter
+      case 4 => canonical.substring(0, canonical.length - 1) // typo: drop last char
+      case _ =>
+        val vs = aliasInv.getOrElse(parts(0), Vector(parts(0)))
+        val first = vs(r.nextInt(vs.size))
+        if (parts.length > 1) s"$first ${parts(1)}" else first
     }
   }
 

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Everything here is pure column expressions (whole-stage codegen'd, no
+  * UDFs) so the operators scan-pipeline at 100 TB: one pass over the text
+  * column, no shuffle until an explicit aggregation.
+  */
+object TextStats {
+
+  /** whitespace tokens (empty-safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap deterministic
+    * stand-in for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "for", "on", "with", "at", "by")
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(toks).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      size(array_distinct(toks)).as("n_distinct_tokens"))
+  }
+
+  /** Quality signals + a composite score. Ratios are exact rational values
+    * of integer counts (deterministic across engines). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double")
+    val stop = size(filter(toks, t => lower(t).isin(enStop: _*))).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0))
+    docs.select(
+      col("doc_id"),
+      nToks.cast("long").as("n_tokens"),
+      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      (stop / greatest(nToks, lit(1.0))).as("stopword_ratio"),
+      distinctRatio.as("distinct_ratio"),
+      // composite: in [0,1]; long-enough, low-punct, some stopwords, diverse
+      (least(nToks / lit(64.0), lit(1.0)) * lit(0.4)
+        + (lit(1.0) - least(punct / greatest(nChars, lit(1.0)), lit(1.0))) * lit(0.2)
+        + least(stop / greatest(nToks, lit(1.0)) * lit(4.0), lit(1.0)) * lit(0.2)
+        + distinctRatio * lit(0.2)).as("quality_score"))
+  }
+
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "ta"))
+
+  /** Heuristic language ID: per-language marker-token hit count; winner by
+    * (count desc, language name asc) — fully deterministic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("lang_tag") +:
+        langMarkers.map { case (l, ms) =>
+          size(filter(toks, t => t.isin(ms: _*))).as(s"score_$l")
+        }: _*)
+    // array_max picks the lexicographically greatest (score, rank, lang)
+    // struct; rank is inverted so the alphabetically FIRST lang wins ties.
+    val ranked = langMarkers.map(_._1).sorted.zipWithIndex.toMap
+    val best2 = langMarkers.map { case (l, _) =>
+      struct(col(s"score_$l").as("s"), lit(langMarkers.size - ranked(l)).as("r"),
+        lit(l).as("l"))
+    }
+    scored.withColumn("pred_lang", array_max(array(best2: _*)).getField("l"))
+      .select((Seq(col("doc_id"), col("lang_tag"), col("pred_lang")) ++
+        langMarkers.map { case (l, _) => col(s"score_$l") }): _*)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CanonicalizeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def cc(edges: Seq[(String, String)]): Map[String, String] = {
+    import spark.implicits._
+    Canonicalize.connectedComponents(
+        edges.map { case (a, b) => ("T", a, b) }.toDF("entity_type", "key_a", "key_b"))
+      .collect()
+      .map(r => r.getString(1) -> r.getString(2))
+      .toMap
+  }
+
+  private def ufOracle(edges: Seq[(String, String)]): Map[String, String] = {
+    val uf = new Oracle.UnionFind
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(k => k -> uf.find(k)).toMap
+  }
+
+  private def check(edges: Seq[(String, String)]): Unit =
+    assert(cc(edges) == ufOracle(edges))
+
+  test("path graph collapses to min key") {
+    check(Seq("b" -> "c", "c" -> "d", "d" -> "e", "a" -> "b"))
+  }
+
+  test("star graph") { check(Seq("m" -> "a", "m" -> "b", "m" -> "c", "m" -> "z")) }
+
+  test("cycle graph") { check(Seq("a" -> "b", "b" -> "c", "c" -> "a")) }
+
+  test("two clusters merged by one bridge edge") {
+    check(Seq("a" -> "b", "b" -> "c", "x" -> "y", "y" -> "z", "c" -> "x"))
+  }
+
+  test("disjoint clusters stay disjoint") {
+    val labels = cc(Seq("a" -> "b", "x" -> "y"))
+    assert(labels("a") == "a" && labels("b") == "a")
+    assert(labels("x") == "x" && labels("y") == "x")
+  }
+
+  test("entity_type partitions the graph — same keys in different types never merge") {
+    import spark.implicits._
+    val df = Seq(("A", "k1", "k2"), ("B", "k2", "k3"))
+      .toDF("entity_type", "key_a", "key_b")
+    val labels = Canonicalize.connectedComponents(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(labels(("A", "k2")) == "k1")
+    assert(labels(("B", "k2")) == "k2") // type B's k2 is its own component min
+  }
+
+  test("randomized graphs match union-find (property)") {
+    for (seed <- 0 until 6) {
+      val r = new scala.util.Random(seed)
+      val n = 4 + r.nextInt(20)
+      val edges = List.fill(n)((s"k${r.nextInt(15)}", s"k${r.nextInt(15)}"))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) check(edges)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LinkSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("normKey collapses case and whitespace") {
+    assert(Link.normKeyScala("  Alice   SMITH ") == "alice smith")
+    // Spark expression agrees with the Scala mirror
+    import spark.implicits._
+    val got = Seq("  Alice   SMITH ", "BOB", "a\tb").toDF("s")
+      .select(Link.normKey(org.apache.spark.sql.functions.col("s"))).as[String].collect()
+    assert(got.toSeq == Seq("alice smith", "bob", "a b"))
+  }
+
+  test("guid mint: Spark sha2 agrees with the Scala mirror (determinism across engines)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq(("Person", "alice smith")).toDF("t", "k")
+      .select(Link.guidFor(col("t"), col("k"))).as[String].head()
+    assert(got == Link.guidForScala("Person", "alice smith"))
+    assert(got.length == 64)
+  }
+
+  test("jaccard on 3-gram shingles behaves") {
+    assert(Link.jaccard("alice smith", "alice smith") == 1.0)
+    assert(Link.jaccard("alice smith", "alice smit") > 0.8)
+    assert(Link.jaccard("robert smith", "rupert smith") < 0.7)
+    assert(Link.jaccard("alice smith", "bob jones") < 0.1)
+  }
+
+  test("bandSignature is deterministic and has `bands` entries") {
+    val a = Link.bandSignature("alice smith", 24, 8)
+    val b = Link.bandSignature("alice smith", 24, 8)
+    assert(a == b && a.size == 8)
+    assert(a.map(_._1) == (0 until 8))
+  }
+
+  test("fuzzySameAs finds typo pairs and rejects distinct names") {
+    import spark.implicits._
+    val keys = Seq(
+      ("Person", "alice smith"), ("Person", "alice smit"),
+      ("Person", "robert smith"), ("Person", "rupert smith"),
+      ("Order", "1"), ("Order", "2") // non-fuzzy type must produce nothing
+    ).toDF("entity_type", "dict_key")
+    val pairs = Link.fuzzySameAs(keys, Link.Config())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(pairs == Set(("Person", "alice smit", "alice smith")))
+  }
+
+  test("broadcast dictionary maps variants; unknown keys pass through") {
+    import spark.implicits._
+    val ments = Seq(("Person", "bob smith"), ("Person", "zed qux"))
+      .toDF("entity_type", "norm_key")
+    val dict = Seq(("Person", "bob smith", "robert smith"))
+      .toDF("entity_type", "variant_norm", "canonical_norm")
+    val out = Link.applyDict(ments, dict).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(out == Map("bob smith" -> "robert smith", "zed qux" -> "zed qux"))
+  }
+}

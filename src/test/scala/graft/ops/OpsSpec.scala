@@ -1,0 +1,254 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{TextHash, TextHashKernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fingerprint64 kernel is FNV-1a (known vector) and expression agrees") {
+    import spark.implicits._
+    // FNV-1a 64 of "abc"
+    assert(TextHashKernels.fingerprint64(UTF8String.fromString("abc")) ==
+      0xe71fa2190541574bL)
+    val got = Seq("abc").toDF("t")
+      .select(TextHash.fingerprint64(org.apache.spark.sql.functions.col("t")))
+      .as[Long].head()
+    assert(got == 0xe71fa2190541574bL)
+  }
+
+  test("simhash64: identical texts equal; near texts close; distinct texts far") {
+    def h(s: String) = TextHashKernels.simhash64(UTF8String.fromString(s))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    assert(h(base) == h(base))
+    assert(ham(h(base), h(base.replace("dog", "cat"))) <= 16)
+    assert(ham(h(base), h("completely unrelated words xylophone quartz vibrant majestic")) > 16)
+  }
+
+  test("simhash64 expression is codegen'd (no fallback) and registered in SQL") {
+    import spark.implicits._
+    TextHash.register(spark)
+    // range scan (not a local relation) so the optimizer cannot pre-evaluate
+    // and the expression must run inside generated code
+    val out = spark.range(2).selectExpr(
+      "simhash64(concat('a b c ', cast(id AS string))) AS h",
+      "fingerprint64(cast(id AS string)) AS f")
+    val exec = out.queryExecution.executedPlan
+    val inCodegen = exec.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(inCodegen, exec.toString)
+    val got = out.as[(Long, Long)].collect().toSet
+    assert(got.contains((
+      TextHashKernels.simhash64(UTF8String.fromString("a b c 0")),
+      TextHashKernels.fingerprint64(UTF8String.fromString("0")))))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val d = docs(
+    0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of 0
+    2L -> "the quick brown fox jumps over the lazy dog near the river shore", // near dup of 0
+    3L -> "spark streaming jobs shuffle data between executors during wide stages",
+    4L -> "completely different content about cooking pasta with tomato sauce tonight")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exact(d).collect()
+      .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(out(0L) == 2L) // docs 0+1 collapsed
+    assert(out.values.sum == 5L)
+    assert(!out.contains(1L))
+  }
+
+  test("minhash LSH finds the near-dup pair and not the distinct ones") {
+    val pairs = Dedup.minhashPairs(d, Dedup.MinHashConfig(jaccardThreshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard matches exact shingle jaccard (verification is exact)") {
+    val got = Dedup.minhashPairs(d, Dedup.MinHashConfig(jaccardThreshold = 0.1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force word-3-gram jaccard for (0,2)
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val t0 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val t2 = "the quick brown fox jumps over the lazy dog near the river shore"
+    val expect = sh(t0).intersect(sh(t2)).size.toDouble / sh(t0).union(sh(t2)).size
+    assert(math.abs(got((0L, 2L)) - expect) < 1e-12)
+  }
+
+  test("simhash blocking finds exact + near duplicates within hamming bound") {
+    val pairs = Dedup.simhashPairs(d, maxHamming = 12, chunks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical => hamming 0
+    assert(pairs.contains((0L, 2L))) // one word changed
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("dedupGroups clusters transitively with min representative") {
+    val groups = Dedup.dedupGroups(
+        Dedup.minhashPairs(d, Dedup.MinHashConfig(jaccardThreshold = 0.5)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** deterministic corpus: 3 clusters of 20 vectors in 16-dim */
+  private def corpus = {
+    import spark.implicits._
+    (0 until 60).map { i =>
+      val cluster = i % 3
+      val base = Array.tabulate(16)(d => if (d % 3 == cluster) 1.0f else 0.05f)
+      val jitter = Array.tabulate(16)(d =>
+        ((i * 31 + d * 7) % 13 - 6) / 100.0f)
+      (i.toLong, base.zip(jitter).map { case (a, b) => a + b }, cluster)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private def queries = {
+    import org.apache.spark.sql.functions._
+    corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+  }
+
+  test("brute-force top-k: neighbors share the query's cluster") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n % 3 == q % 3, s"query $q got neighbor $n from another cluster")
+    }
+  }
+
+  test("cosine column expression matches scala computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    val exp = {
+      val dot = 1.0 * 4 + 2.0 * 5 + 3.0 * 6
+      dot / (math.sqrt(1.0 + 4 + 9) * math.sqrt(16.0 + 25 + 36))
+    }
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("LSH top-k recall >= 0.8 vs brute force; precision exact on returned set") {
+    val k = 5
+    val bf = Similarity.bruteForceTopK(corpus, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(corpus, queries, k,
+      Similarity.LshConfig(tables = 8, bits = 6)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    info(f"ANN recall vs brute force: $recall%.3f")
+    assert(recall >= 0.8)
+  }
+
+  test("embedding near-dup pairs stay within clusters") {
+    val pairs = Similarity.cosineNearDupPairs(corpus, 0.95,
+      Similarity.LshConfig(tables = 8, bits = 4)).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) % 3 == r.getLong(1) % 3)
+    }
+  }
+}
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("token stats") {
+    import spark.implicits._
+    val out = TextStats.tokenStats(Seq((1L, "the the quick fox")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("n_tokens") == 4)
+    assert(out.getAs[Int]("n_distinct_tokens") == 3)
+    assert(out.getAs[Int]("n_subwords") == 4)
+  }
+
+  test("subword count splits alpha/digit/punct runs") {
+    import spark.implicits._
+    val n = Seq((1L, "abc123, def!")).toDF("doc_id", "text")
+      .select(TextStats.subwordCount(org.apache.spark.sql.functions.col("text")))
+      .as[Int].head()
+    assert(n == 5) // abc | 123 | , | def | !
+  }
+
+  test("quality score is in [0,1] and penalizes repetition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the analysis shows a clear improvement in throughput for all tested configurations of the system"),
+      (2L, "spam spam spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val out = TextStats.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+
+  test("langId picks the language with most marker hits, deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "the cat is on the mat and it is happy"),
+      (2L, "x", "el gato que esta en la casa y por los perros"),
+      (3L, "x", "der hund ist von den nicht und das haus"),
+      (4L, "x", "zzz qqq www")) // no markers anywhere -> tie -> first lang (de? en?) by name asc
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "de") // alphabetically first among all-zero scores
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("media table derivation + batched feature extraction round-trips") {
+    import spark.implicits._
+    val docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "xyz xyz"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val types = media.collect().map(r =>
+      r.getAs[Long]("media_id") -> r.getAs[String]("media_type")).toMap
+    assert(types == Map(0L -> "image", 1L -> "audio", 2L -> "video"))
+
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3)
+    val f0 = feats.find(_.media_id == 0L).get
+    assert(f0.n_bytes == "hello world".getBytes("UTF-8").length)
+    assert(f0.feature.length == 16)
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media).collect().find(_.media_id == 0L).get
+    assert(again.byte_entropy == f0.byte_entropy)
+    assert(java.util.Arrays.equals(again.feature, f0.feature))
+  }
+
+  test("frame sampling plan emits one frame per interval") {
+    import spark.implicits._
+    val docs = Seq((2L, "v")).toDF("doc_id", "text") // doc 2 -> video
+    val media = Multimodal.mediaFromDocuments(docs)
+    val row = Multimodal.frameSamplePlan(media, everyMs = 500L).collect().head
+    val frames = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("frames"))
+    val duration = media.collect().head.getAs[Long]("duration_ms")
+    assert(frames.size == duration / 500 + 1)
+  }
+}

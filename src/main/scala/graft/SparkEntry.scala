@@ -102,6 +102,134 @@ object SparkEntry {
         .withColumn("dv", $"value" - lag($"value", 1).over(w))
         .select($"event_id", $"user_id", $"event_type", $"rn", $"dv")
         .orderBy($"user_id", $"rn")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_topk_parts" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("l_partkey").asc)
+        .limit(10)
+    }),
+    "q_setops" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      c.intersect(su).withColumn("which", lit("both"))
+        .unionByName(c.except(su).withColumn("which", lit("customer_only")))
+        .unionByName(su.except(c).withColumn("which", lit("supplier_only")))
+        .orderBy(col("which"), col("nationkey"))
+    }),
+    "q_scalar_funcs" -> ((s, dir) => {
+      s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"),
+          (col("p_size") * 2 + 1).as("size_calc"),
+          when(col("p_retailprice") > 1500, "premium").otherwise("standard").as("tier"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q_date_funcs" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .groupBy(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // ---- training-data ops over documents/embeddings ----
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.ops.Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("text_md5"))
+    }),
+    "q_token_stats" -> ((s, dir) => {
+      graft.ops.TextStats.tokenStats(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      graft.ops.TextStats.quality(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      graft.ops.TextStats.langId(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_minhash_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          maxHamming = 7, chunks = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextHash.fingerprint64(col("text")).as("fp"),
+          graft.functions.TextHash.simhash64(col("text")).as("sh"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Similarity.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Similarity.lshTopK(emb, queries, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // the driver embeddings are near-random (max pairwise cosine ≈ 0.48),
+    // so "near-dup" here means the extreme high-similarity tail
+    "q_embed_neardup" -> ((s, dir) => {
+      graft.ops.Similarity.cosineNearDupPairs(
+          s.read.parquet(s"$dir/embeddings.parquet"), 0.30,
+          graft.ops.Similarity.LshConfig(tables = 8, bits = 4))
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+    "q_media_meta" -> ((s, dir) => {
+      graft.ops.Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("media_id"), col("media_type"), length(col("payload")).as("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
+        .orderBy(col("media_id"))
+    }),
+    "q_media_features" -> ((s, dir) => {
+      graft.ops.Multimodal.extractFeatures(
+          graft.ops.Multimodal.mediaFromDocuments(
+            s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("byte_entropy"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -197,6 +325,125 @@ object SparkEntry {
         |       value - lag(value, 1) OVER w AS dv
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, rn""".stripMargin
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_topk_parts" ->
+      """SELECT l_partkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY revenue DESC, l_partkey ASC LIMIT 10""".stripMargin,
+    "q_setops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS which FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+        |ORDER BY which, nationkey""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |       lower(p_name) AS name_lower,
+        |       substring(p_type, 1, 5) AS type_prefix,
+        |       concat_ws('|', p_brand, p_type) AS brand_type,
+        |       CAST(length(p_name) AS INT) AS name_len,
+        |       p_size * 2 + 1 AS size_calc,
+        |       CASE WHEN p_retailprice > 1500 THEN 'premium' ELSE 'standard' END AS tier
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INT) AS n_chars_m,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subwords,
+        |       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS DOUBLE) AS n_chars,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, n_chars, punct,
+        |         CAST(len(toks) AS DOUBLE) AS n_toks,
+        |         CAST(len(list_filter(toks, x -> lower(x) IN
+        |           ('the','a','an','and','or','of','to','in','is','for','on','with','at','by')))
+        |           AS DOUBLE) AS stop,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) AS dtoks
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CAST(n_toks AS BIGINT) AS n_tokens,
+        |       punct / greatest(n_chars, 1.0) AS punct_ratio,
+        |       stop / greatest(n_toks, 1.0) AS stopword_ratio,
+        |       dtoks / greatest(n_toks, 1.0) AS distinct_ratio,
+        |       least(n_toks / 64.0, 1.0) * 0.4
+        |         + (1.0 - least(punct / greatest(n_chars, 1.0), 1.0)) * 0.2
+        |         + least(stop / greatest(n_toks, 1.0) * 4.0, 1.0) * 0.2
+        |         + (dtoks / greatest(n_toks, 1.0)) * 0.2 AS quality_score
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS lang_tag,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang_tag,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','is','in','that','it','for'))) AS INT) AS score_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','por','con','los'))) AS INT) AS score_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS INT) AS score_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS INT) AS score_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('de','shi','le','bu','wo','zai','you','he','ren','ta'))) AS INT) AS score_zh
+        |  FROM s
+        |)
+        |SELECT doc_id, lang_tag,
+        |  CASE
+        |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr >= score_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang,
+        |  score_en, score_es, score_de, score_fr, score_zh
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qe, e.embedding) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(doc_id % 640 + 16 AS INT) AS width,
+        |       CAST(doc_id % 480 + 16 AS INT) AS height,
+        |       doc_id % 90000 + 1000 AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -70,6 +70,27 @@ object SparkEntry {
         .select($"conv_id", $"turn_idx", $"role", $"text", $"tool")
         .orderBy($"conv_id", $"turn_idx")
     }),
+    // resumable bucketed execution: MERGE of 4 per-partition runs must equal
+    // the one-shot pipeline — checked against the SAME oracle as kg_edges
+    "kg_incremental" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-inc-q").toString
+      graft.kg.Incremental.run(Transcripts.fromTestdata(s, dir),
+        Pipeline.emptyDict(s), out, "verify-run", nBuckets = 4,
+        linkCfg = Link.Config(fuzzy = false))
+      Materialize.readTable(s, s"$out/edges").get
+        .orderBy(Materialize.edgeKey.map(col): _*)
+    }),
+    // Structured Streaming ingest (AvailableNow) must converge to the same
+    // graph as the batch pipeline — same oracle as kg_edges
+    "kg_streaming" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+      Transcripts.fromTestdata(s, dir).write.mode("overwrite").parquet(s"$base/in")
+      val q = graft.streaming.StreamingIngest.start(s, s"$base/in", s"$base/out",
+        s"$base/ck", Pipeline.emptyDict(s), Link.Config(fuzzy = false))
+      q.awaitTermination(600000)
+      Materialize.readTable(s, s"$base/out/edges").get
+        .orderBy(Materialize.edgeKey.map(col): _*)
+    }),
     // the §7.3 minimum slice: entities mentioned per conversation
     "kg_mentions" -> ((s, dir) => {
       import s.implicits._
@@ -233,7 +254,11 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("kg_incremental" -> oracleSqlBase("kg_edges")) +
+    ("kg_streaming" -> oracleSqlBase("kg_edges"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "kg_edges" ->
       s"""$kgBaseCte, tr AS (
          |  SELECT 'Person' AS subj_type, 'Person|' || person_key AS subj_id,

@@ -1,0 +1,157 @@
+package graft.kg
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Model._
+
+/** Incremental/resumable execution with per-partition checkpoints, lineage
+  * and metrics (north rule: "checkpoint per-partition progress with
+  * lineage + metrics so any stage is resumable").
+  *
+  * The input is split into `nBuckets` deterministic conv_id hash buckets;
+  * each bucket runs the full pipeline and MERGEs into the output tables,
+  * then appends a `_checkpoints` row. A restarted run consults the table and
+  * skips completed buckets — safe because the sink is an idempotent MERGE
+  * and GUIDs are content-derived (re-processing a bucket is a no-op).
+  *
+  * Linking across batches mirrors megamind's architecture: per-bucket
+  * linking is exact/dictionary (synchronous, like the Entity Registry
+  * lookup), while FUZZY canonicalization runs as a separate global
+  * compaction pass [[Incremental.resolveDisjoint]] over the accumulated
+  * node table — the batch analog of megamind's asynchronous Disjoint
+  * Watcher → Disjoint Resolver loop (`docs/diagrams/megamind.drawio:80-113`):
+  * the graph is eventually consistent, converging when the resolver runs.
+  */
+object Incremental {
+
+  final case class Checkpoint(run_id: String, stage: String, partition_key: Int,
+      status: String, rows_in: Long, rows_out: Long, started_ms: Long, finished_ms: Long)
+
+  private def cpPath(outDir: String) = s"$outDir/_checkpoints"
+  private def metricsPath(outDir: String) = s"$outDir/_metrics"
+
+  def readCheckpoints(spark: SparkSession, outDir: String): DataFrame = {
+    if (Files.exists(Paths.get(cpPath(outDir))))
+      spark.read.parquet(cpPath(outDir))
+    else {
+      import spark.implicits._
+      Seq.empty[Checkpoint].toDF()
+    }
+  }
+
+  def completedBuckets(spark: SparkSession, outDir: String, runId: String): Set[Int] =
+    readCheckpoints(spark, outDir)
+      .filter(col("run_id") === runId && col("status") === "done" &&
+        col("stage") === "pipeline")
+      .select("partition_key").collect().map(_.getInt(0)).toSet
+
+  private def appendCheckpoint(spark: SparkSession, outDir: String, cp: Checkpoint): Unit = {
+    import spark.implicits._
+    Seq(cp).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(cpPath(outDir))
+  }
+
+  private def appendMetrics(spark: SparkSession, outDir: String,
+      rows: Seq[(String, String, Int, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("run_id", "stage", "partition_key", "metric", "value")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(metricsPath(outDir))
+  }
+
+  /** Run (or resume) `runId` over the transcript table. Returns the number
+    * of buckets actually processed this invocation. */
+  def run(turns: Dataset[Turn], dict: DataFrame, outDir: String, runId: String,
+      nBuckets: Int = 16,
+      linkCfg: Link.Config = Link.Config(fuzzy = false),
+      failAtBucket: Option[Int] = None): Int = {
+    val spark = turns.sparkSession
+    Files.createDirectories(Paths.get(outDir))
+    val done = completedBuckets(spark, outDir, runId)
+    var processed = 0
+    (0 until nBuckets).foreach { b =>
+      if (!done.contains(b)) {
+        failAtBucket.foreach(f => if (f == b)
+          throw new RuntimeException(s"injected failure at bucket $b"))
+        val t0 = System.currentTimeMillis()
+        val slice = turns.filter(pmod(hash(col("conv_id")), lit(nBuckets)) === b)
+        val rowsIn = slice.count()
+        val r = Pipeline.run(slice, dict, linkCfg)
+        val mergedE = Materialize.mergeSnapshot(spark, s"$outDir/edges", r.edges,
+          Materialize.edgeKey)
+        Materialize.mergeSnapshot(spark, s"$outDir/nodes", r.nodes,
+          Seq("guid", "entity_type"))
+        val rowsOut = mergedE.count()
+        appendCheckpoint(spark, outDir,
+          Checkpoint(runId, "pipeline", b, "done", rowsIn, rowsOut,
+            t0, System.currentTimeMillis()))
+        appendMetrics(spark, outDir, Seq(
+          (runId, "pipeline", b, "rows_in", rowsIn),
+          (runId, "pipeline", b, "edges_total_after", rowsOut)))
+        processed += 1
+      }
+    }
+    processed
+  }
+
+  /** Global fuzzy-canonicalization compaction — megamind's Disjoint Resolver
+    * as a batch job. Reads the accumulated node table, finds same-entity
+    * classes via MinHash/LSH + CC over canonical names, rewrites edge/node
+    * GUIDs to the class representative, and MERGEs back. Idempotent:
+    * a second invocation finds only singleton classes and changes nothing.
+    */
+  def resolveDisjoint(spark: SparkSession, outDir: String,
+      cfg: Link.Config = Link.Config()): Unit = {
+    val nodesOpt = Materialize.readTable(spark, s"$outDir/nodes")
+    val edgesOpt = Materialize.readTable(spark, s"$outDir/edges")
+    if (nodesOpt.isEmpty || edgesOpt.isEmpty) return
+    val nodes = nodesOpt.get
+    val edges = edgesOpt.get
+
+    val keys = nodes.select(col("entity_type"), col("name").as("dict_key"))
+    val sameAs = Link.fuzzySameAs(keys, cfg)
+    val cc = Canonicalize.connectedComponents(
+        sameAs.select(col("entity_type"), col("key_a"), col("key_b")))
+      .select(col("entity_type").as("cc_et"), col("key").as("cc_key"),
+        col("component"))
+
+    // guid rewrite map: old guid -> canonical guid (only where it changes)
+    val rewrite = nodes.join(cc,
+        nodes("entity_type") === cc("cc_et") && nodes("name") === cc("cc_key"))
+      .filter(col("name") =!= col("component"))
+      .select(col("guid").as("old_guid"),
+        Link.guidFor(col("entity_type"), col("component")).as("new_guid"),
+        col("entity_type").as("rw_et"), col("component").as("new_name"))
+      .localCheckpoint(eager = true)
+
+    if (rewrite.isEmpty) return
+
+    val rwSubj = rewrite.select(col("old_guid").as("s_old"), col("new_guid").as("s_new"))
+    val rwObj = rewrite.select(col("old_guid").as("o_old"), col("new_guid").as("o_new"))
+    val newEdges = edges
+      .join(broadcast(rwSubj), col("subj_guid") === col("s_old"), "left")
+      .join(broadcast(rwObj), col("obj_guid") === col("o_old"), "left")
+      .select(
+        col("subj_type"),
+        coalesce(col("s_new"), col("subj_guid")).as("subj_guid"),
+        col("pred"), col("obj_kind"), col("obj_type"),
+        coalesce(col("o_new"), col("obj_guid")).as("obj_guid"),
+        col("obj_string"), col("obj_int64"), col("obj_float64"))
+      .dropDuplicates(Materialize.edgeKey)
+
+    val newNodes = nodes
+      .join(broadcast(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
+        col("guid") === col("old_guid"), "left")
+      .select(coalesce(col("new_guid"), col("guid")).as("guid"),
+        col("entity_type"),
+        coalesce(col("new_name"), col("name")).as("name"))
+      .groupBy(col("guid"), col("entity_type")).agg(min(col("name")).as("name"))
+
+    // full-replace semantics for a compaction: write fresh snapshots
+    Materialize.mergeSnapshot(spark, s"$outDir/edges",
+      newEdges, Materialize.edgeKey, replace = true)
+    Materialize.mergeSnapshot(spark, s"$outDir/nodes",
+      newNodes, Seq("guid", "entity_type"), replace = true)
+  }
+}

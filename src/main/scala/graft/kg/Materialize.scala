@@ -57,13 +57,16 @@ object Materialize {
     currentSnapshot(table).map(spark.read.parquet(_))
 
   /** MERGE staged rows into `table` on `key`: insert-if-absent semantics
-    * (duplicates collapse; reruns are no-ops). Returns the merged frame.
+    * (duplicates collapse; reruns are no-ops). With `replace = true` the
+    * staged frame REPLACES the table (compaction/rewrite jobs) — still via
+    * the same atomic snapshot flip. Returns the merged frame.
     */
   def mergeSnapshot(spark: SparkSession, table: String, staged: DataFrame,
-      key: Seq[String]): DataFrame = {
+      key: Seq[String], replace: Boolean = false): DataFrame = {
     val merged = readTable(spark, table) match {
-      case Some(existing) => existing.unionByName(staged).dropDuplicates(key)
-      case None => staged.dropDuplicates(key)
+      case Some(existing) if !replace =>
+        existing.unionByName(staged).dropDuplicates(key)
+      case _ => staged.dropDuplicates(key)
     }
     val next = currentSnapshot(table) match {
       case Some(cur) => cur.split("snap-").last.toLong + 1

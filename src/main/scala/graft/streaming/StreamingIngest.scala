@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.kg.{Incremental, Link, Materialize, Pipeline}
+import graft.model.Model
+
+/** Structured-Streaming ingest — the streaming analog of the reference's
+  * client-streaming `Ingest` RPC (`services/ingest/proto/service.proto:28`,
+  * recv-loop `services/ingest/ingest/ingest.go:35-61`).
+  *
+  * Each arriving micro-batch of transcript rows runs the batch pipeline in
+  * `foreachBatch` and MERGEs idempotently — the exact Spark counterpart of
+  * megamind's fire-and-forget publish + converge-downstream posture: a
+  * replayed/duplicated micro-batch is a no-op, so at-least-once delivery
+  * still converges (eventual consistency). The connected-components loop is
+  * not stream-expressible, which is why it runs per micro-batch inside
+  * foreachBatch (SURVEY §1.3), with global fuzzy resolution left to the
+  * periodic [[graft.kg.Incremental.resolveDisjoint]] compaction.
+  */
+object StreamingIngest {
+
+  /** Start a file-source stream over `inputDir` (parquet transcript rows),
+    * merging into `outDir/{edges,nodes}`. `Trigger.AvailableNow` drains all
+    * currently-available input then stops — batch-job semantics with
+    * streaming bookkeeping (checkpointed source offsets in `ckDir`). */
+  def start(spark: SparkSession, inputDir: String, outDir: String, ckDir: String,
+      dict: DataFrame, linkCfg: Link.Config = Link.Config(fuzzy = false)): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .schema(Model.turnSchema)
+      .parquet(inputDir)
+      .as[Model.Turn]
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Model.Turn], batchId: Long) =>
+        val r = Pipeline.run(batch, dict, linkCfg)
+        Materialize.mergeSnapshot(batch.sparkSession, s"$outDir/edges", r.edges,
+          Materialize.edgeKey)
+        Materialize.mergeSnapshot(batch.sparkSession, s"$outDir/nodes", r.nodes,
+          Seq("guid", "entity_type"))
+        ()
+      }
+      .start()
+  }
+
+  /** Windowed turn-rate metrics stream (event-time, watermarked) — the
+    * streaming stats analog of the reference's 1 Hz runtime stats goroutine
+    * (`tools/megamind/cmd/dgraph_ingest_subgraph.go:60-82`). */
+  def turnRates(spark: SparkSession, inputDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .schema(Model.turnSchema)
+      .parquet(inputDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("role"))
+      .agg(count(lit(1)).as("n_turns"),
+        approx_count_distinct(col("conv_id")).as("approx_convs"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.kg
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IncrementalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val cfg = Transcripts.GenConfig(seed = 11L, nConvs = 80, turnsPerConv = 8)
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.selectExpr("concat_ws('|', subj_type, subj_guid, pred, obj_kind, " +
+        "coalesce(obj_type,''), coalesce(obj_guid,''), coalesce(obj_string,''), " +
+        "coalesce(cast(obj_int64 as string),''), coalesce(cast(obj_float64 as string),''))")
+      .collect().map(_.getString(0)).toSet
+
+  test("kill-and-resume: failed run resumes from checkpoints; output equals one-shot run") {
+    val turns = Transcripts.synthetic(spark, cfg, partitions = 4)
+    val dict = Pipeline.emptyDict(spark)
+
+    // one-shot reference
+    val ref = Pipeline.run(turns, dict, Link.Config(fuzzy = false))
+    val refEdges = edgeSet(ref.edges)
+
+    // incremental run killed at bucket 3
+    val out = Files.createTempDirectory("graft-inc").toString
+    val runId = "run-1"
+    intercept[RuntimeException] {
+      Incremental.run(turns, dict, out, runId, nBuckets = 6,
+        failAtBucket = Some(3))
+    }
+    val doneBefore = Incremental.completedBuckets(spark, out, runId)
+    assert(doneBefore == Set(0, 1, 2), s"got $doneBefore")
+
+    // resume: only the remaining buckets run
+    val processed = Incremental.run(turns, dict, out, runId, nBuckets = 6)
+    assert(processed == 3)
+    val finalEdges = edgeSet(Materialize.readTable(spark, s"$out/edges").get)
+    assert(finalEdges == refEdges)
+
+    // second resume is a no-op
+    assert(Incremental.run(turns, dict, out, runId, nBuckets = 6) == 0)
+
+    // lineage/metrics recorded per partition
+    val cps = Incremental.readCheckpoints(spark, out)
+    assert(cps.filter("status = 'done'").count() == 6)
+    assert(spark.read.parquet(s"$out/_metrics")
+      .filter("metric = 'rows_in'").count() == 6)
+  }
+
+  test("disjoint-resolver compaction merges fuzzy aliases across batches, idempotently") {
+    import spark.implicits._
+    // two batches that each mention the same person with a typo variant —
+    // per-batch exact linking keeps them distinct; the resolver merges them
+    val ts0 = new java.sql.Timestamp(0L)
+    val b1 = Seq(graft.model.Model.Turn("c1", 0, "user", "My name is Alice Smith.", "", ts0),
+      graft.model.Model.Turn("c1", 1, "user", "Alice Smith is 30 years old.", "", ts0)).toDS()
+    val b2 = Seq(graft.model.Model.Turn("c2", 0, "user", "My name is Alice Smit.", "", ts0)).toDS()
+
+    val out = Files.createTempDirectory("graft-dr").toString
+    val dict = Pipeline.emptyDict(spark)
+    Incremental.run(b1, dict, out, "r1", nBuckets = 1)
+    Incremental.run(b2, dict, out, "r2", nBuckets = 1)
+
+    val before = Materialize.readTable(spark, s"$out/nodes").get
+      .filter($"entity_type" === "Person").count()
+    assert(before == 2) // not yet resolved: eventual consistency in flight
+
+    Incremental.resolveDisjoint(spark, out)
+    val nodes = Materialize.readTable(spark, s"$out/nodes").get
+      .filter($"entity_type" === "Person").collect()
+    assert(nodes.length == 1)
+    assert(nodes.head.getAs[String]("name") == "alice smit") // min canonical key
+    val canonGuid = Link.guidForScala("Person", "alice smit")
+    assert(nodes.head.getAs[String]("guid") == canonGuid)
+
+    // every edge rewritten to the canonical guid
+    val edges = Materialize.readTable(spark, s"$out/edges").get.collect()
+    assert(edges.forall(_.getAs[String]("subj_guid") == canonGuid))
+
+    // resolver idempotence: second run changes nothing
+    val snapBefore = Materialize.currentSnapshot(s"$out/nodes")
+    Incremental.resolveDisjoint(spark, out)
+    val nodes2 = Materialize.readTable(spark, s"$out/nodes").get
+      .filter($"entity_type" === "Person").count()
+    assert(nodes2 == 1)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: prints `explain(formatted)` for representative
+  * queries/stages and checks the plan properties that matter at 100 TB —
+  * filter/column pushdown into the parquet scan, broadcast joins for dims,
+  * top-k instead of global sort, whole-stage codegen coverage. Output is
+  * reviewed into PLANS.md.
+  *
+  * Usage: scripts/run.sh Plans [sfDir]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    def audit(name: String, df: DataFrame, execute: Boolean = false)(
+        checks: (String, String => Boolean)*): Unit = {
+      if (execute) df.collect() // executes THIS QueryExecution → final AQE plan
+      // formatted mode for structure + simple mode for codegen stars `*(n)`
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+        "\n==== simple ====\n" + df.queryExecution.executedPlan.toString
+      println(s"\n########## $name ##########")
+      println(formatted.take(5000))
+      checks.foreach { case (label, f) =>
+        val ok = f(formatted)
+        if (!ok) failures += 1
+        println(s"CHECK[$name] $label: ${if (ok) "PASS" else "FAIL"}")
+      }
+    }
+
+    // --- scan pushdown + pruning + codegen on the classic agg ---
+    audit("q1_agg", SparkEntry.queries("q1_agg")(spark, dir), execute = true)(
+      "filter pushed to parquet scan" ->
+        (_.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")),
+      "column pruning (no l_orderkey in ReadSchema)" ->
+        (s => !s.split("ReadSchema")(1).take(300).contains("l_orderkey")),
+      "partial aggregation before the exchange" -> (_.contains("partial_sum")),
+      "whole-stage codegen in final plan" ->
+        (s => s.contains("WholeStageCodegen") || s.contains("*(")))
+
+    // --- transcript derivation: dims must broadcast, fact never shuffles ---
+    audit("transcript_derivation",
+      graft.kg.Transcripts.fromTestdata(spark, dir).toDF(), execute = true)(
+      "customer+nation joined via BroadcastHashJoin" ->
+        (s => s.split("BroadcastHashJoin").length >= 3),
+      "no shuffle exchange before the joins (broadcast only)" ->
+        (s => !s.contains("ENSURE_REQUIREMENTS")))
+
+    // --- labeling joins: registry broadcast both sides ---
+    {
+      val turns = graft.kg.Transcripts.fromTestdata(spark, dir)
+      val raw = graft.kg.Extract.extract(turns)
+      val reg = graft.kg.Link.registry(raw, graft.kg.Pipeline.emptyDict(spark),
+        graft.kg.Link.Config(fuzzy = false))
+      val edges = graft.kg.Materialize.edges(graft.kg.Link.label(raw, reg))
+      audit("kg_label_edges", edges, execute = true)(
+        "subject+object registry joins broadcast" ->
+          (s => s.split("BroadcastHashJoin").length >= 3),
+        "dedup is a hash aggregate (map-side partial)" ->
+          (_.contains("HashAggregate")))
+    }
+
+    audit("q_topk_parts", SparkEntry.queries("q_topk_parts")(spark, dir), execute = true)(
+      "TakeOrderedAndProject (top-k, no global sort)" ->
+        (_.contains("TakeOrderedAndProject")),
+      "partial aggregation before shuffle" -> (_.contains("partial_sum")))
+
+    audit("q_semi_join", SparkEntry.queries("q_semi_join")(spark, dir), execute = true)(
+      "semi join present" -> (_.contains("LeftSemi")),
+      "broadcast semi join (orders side under threshold)" ->
+        (s => s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoop")))
+
+    audit("q_window_events", SparkEntry.queries("q_window_events")(spark, dir),
+      execute = true)(
+      // executed AQE plans print Final + Initial sections; audit the final one
+      "at most 2 exchanges total (window hash + output range)" ->
+        (s => s.split("Initial Plan")(0).split("Exchange [rh]").length <= 3),
+      "running window (both functions in ONE Window node)" ->
+        (s => s.split("Initial Plan")(0).split("Window \\(").length == 2))
+
+    audit("q_dedup_exact", SparkEntry.queries("q_dedup_exact")(spark, dir), execute = true)(
+      "map-side partial aggregation" ->
+        (s => s.contains("partial_min") || s.contains("partial_count")))
+
+    audit("q_fingerprint", SparkEntry.queries("q_fingerprint")(spark, dir), execute = true)(
+      "custom expressions present in projection" ->
+        (s => s.toLowerCase.contains("fingerprint64")),
+      "inside WholeStageCodegen (native expression, no fallback)" ->
+        (s => s.contains("WholeStageCodegen") || s.contains("*(")))
+
+    println(s"\nTOTAL CHECK FAILURES: $failures")
+    spark.stop()
+  }
+}

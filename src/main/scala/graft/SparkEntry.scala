@@ -86,7 +86,7 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft-inc-q").toString
       graft.kg.Incremental.run(Transcripts.fromTestdata(s, dir),
         Pipeline.emptyDict(s), out, "verify-run", nBuckets = 2,
-        linkCfg = Link.Config(fuzzy = false))
+        linkCfg = Link.Config(fuzzy = false), recordCounts = false)
       Materialize.readTable(s, s"$out/edges").get
         .orderBy(Materialize.edgeKey.map(col): _*)
     }),

@@ -65,33 +65,39 @@ object Incremental {
   def run(turns: Dataset[Turn], dict: DataFrame, outDir: String, runId: String,
       nBuckets: Int = 16,
       linkCfg: Link.Config = Link.Config(fuzzy = false),
-      failAtBucket: Option[Int] = None): Int = {
+      failAtBucket: Option[Int] = None,
+      recordCounts: Boolean = true): Int = {
     val spark = turns.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val done = completedBuckets(spark, outDir, runId)
+    val todo = (0 until nBuckets).filterNot(done.contains)
+    if (todo.isEmpty) return 0
+    // materialize the input once — each bucket filters the checkpoint
+    // instead of re-running the upstream derivation per bucket. (At cluster
+    // scale the input IS a table; this matters when `turns` is computed.)
+    val input = turns.localCheckpoint(eager = true)
     var processed = 0
-    (0 until nBuckets).foreach { b =>
-      if (!done.contains(b)) {
-        failAtBucket.foreach(f => if (f == b)
-          throw new RuntimeException(s"injected failure at bucket $b"))
-        val t0 = System.currentTimeMillis()
-        val slice = turns.filter(pmod(hash(col("conv_id")), lit(nBuckets)) === b)
-        val rowsIn = slice.count()
-        val r = Pipeline.run(slice, dict, linkCfg)
-        val mergedE = Materialize.mergeSnapshot(spark, s"$outDir/edges", r.edges,
-          Materialize.edgeKey)
-        Materialize.mergeSnapshot(spark, s"$outDir/nodes", r.nodes,
-          Seq("guid", "entity_type"))
-        val rowsOut = mergedE.count()
-        appendCheckpoint(spark, outDir,
-          Checkpoint(runId, "pipeline", b, "done", rowsIn, rowsOut,
-            t0, System.currentTimeMillis()))
-        appendMetrics(spark, outDir, Seq(
-          (runId, "pipeline", b, "rows_in", rowsIn),
-          (runId, "pipeline", b, "edges_total_after", rowsOut)))
-        processed += 1
-      }
+    todo.foreach { b =>
+      failAtBucket.foreach(f => if (f == b)
+        throw new RuntimeException(s"injected failure at bucket $b"))
+      val t0 = System.currentTimeMillis()
+      val slice = input.filter(pmod(hash(col("conv_id")), lit(nBuckets)) === b)
+      val rowsIn = if (recordCounts) slice.count() else -1L
+      val r = Pipeline.run(slice, dict, linkCfg)
+      val mergedE = Materialize.mergeSnapshot(spark, s"$outDir/edges", r.edges,
+        Materialize.edgeKey)
+      Materialize.mergeSnapshot(spark, s"$outDir/nodes", r.nodes,
+        Seq("guid", "entity_type"))
+      val rowsOut = if (recordCounts) mergedE.count() else -1L
+      appendCheckpoint(spark, outDir,
+        Checkpoint(runId, "pipeline", b, "done", rowsIn, rowsOut,
+          t0, System.currentTimeMillis()))
+      appendMetrics(spark, outDir, Seq(
+        (runId, "pipeline", b, "rows_in", rowsIn),
+        (runId, "pipeline", b, "edges_total_after", rowsOut)))
+      processed += 1
     }
+    input.unpersist()
     processed
   }
 

@@ -56,7 +56,7 @@ object Canonicalize {
     val n = cp.count()
     val out =
       if (n <= driverThreshold) driverUnionFind(spark, cp.collect())
-      else labelPropagation(cp, maxIter)
+      else labelsByStar(cp, maxIter)
     out
   }
 
@@ -83,37 +83,81 @@ object Canonicalize {
     spark.createDataFrame(rows, outputSchema)
   }
 
-  private def labelPropagation(edges: DataFrame, maxIter: Int): DataFrame = {
+  /** Alternating large-star / small-star (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond") — converges in O(log n) rounds
+    * even on path graphs (vs O(diameter) for naive label propagation), each
+    * round two groupBy-min + join shuffles. The edge set contracts toward a
+    * star per component rooted at its minimum key; labels fall out of the
+    * final stars.
+    */
+  private def labelsByStar(edges: DataFrame, maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var labels = edges.select($"entity_type", $"src".as("key"))
-      .distinct()
-      .withColumn("component", $"key")
+    val vertices = edges.select($"entity_type", $"src".as("key")).distinct()
       .localCheckpoint(eager = true)
 
+    // canonical undirected form: u < v
+    var e = edges
+      .select($"entity_type", least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (ANSI mode forbids a
+      // plain sum of 64-bit hashes)
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64($"entity_type", $"u", $"v"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: every neighbor larger than `node` links to the group min
+    def largeStar(cur: DataFrame): DataFrame = {
+      val d = cur.select($"entity_type", $"u".as("node"), $"v".as("nbr"))
+        .unionByName(cur.select($"entity_type", $"v".as("node"), $"u".as("nbr")))
+      val m = d.groupBy($"entity_type", $"node")
+        .agg(least(min($"nbr"), $"node").as("m"))
+      d.filter($"nbr" > $"node")
+        .join(m, Seq("entity_type", "node"))
+        .select($"entity_type", $"m".as("u"), $"nbr".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    // small-star: every smaller neighbor (and the node) links to the min
+    def smallStar(cur: DataFrame): DataFrame = {
+      val m = cur.groupBy($"entity_type", $"v")
+        .agg(min($"u").as("m"))
+      val withM = cur.join(m, Seq("entity_type", "v"))
+      val a = withM.select($"entity_type", $"m".as("u"), $"u".as("v"))
+      val b = withM.select($"entity_type", $"m".as("u"), $"v")
+      a.unionByName(b)
+        .filter($"u" =!= $"v")
+        .select($"entity_type", least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+    }
+
+    var cs = checksum(e)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val cand = edges
-        .join(labels, edges("entity_type") === labels("entity_type") &&
-          edges("src") === labels("key"))
-        .groupBy(edges("entity_type").as("entity_type"), edges("dst").as("key"))
-        .agg(min($"component").as("nbr_min"))
-
-      val updated = labels.alias("l")
-        .join(cand.alias("c"), Seq("entity_type", "key"), "left")
-        .select($"entity_type", $"key",
-          least($"l.component", coalesce($"c.nbr_min", $"l.component")).as("component"),
-          ($"c.nbr_min".isNotNull && $"c.nbr_min" < $"l.component").as("changed"))
-        .localCheckpoint(eager = true)
-
-      val changed = updated.filter($"changed").limit(1).count()
-      labels.unpersist()
-      labels = updated.drop("changed")
-      converged = changed == 0
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val ncs = checksum(next)
+      e.unpersist()
+      e = next
+      converged = ncs == cs
+      cs = ncs
       iter += 1
     }
-    labels
+
+    // converged stars are (root=u, member=v); isolated originals label self
+    val memberLabels = e.select($"entity_type", $"v".as("key"), $"u".as("component"))
+    val rootLabels = e.select($"entity_type", $"u".as("key"), $"u".as("component"))
+    val selfLabels = vertices.select($"entity_type", $"key", $"key".as("component"))
+    val out = memberLabels.unionByName(rootLabels).unionByName(selfLabels)
+      .groupBy($"entity_type", $"key")
+      .agg(min($"component").as("component"))
+    vertices.unpersist()
+    out
   }
 }

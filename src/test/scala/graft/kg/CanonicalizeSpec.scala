@@ -63,4 +63,40 @@ class CanonicalizeSpec extends AnyFunSuite {
       if (edges.nonEmpty) check(edges)
     }
   }
+
+  // --- distributed large-star/small-star path (driverThreshold = 0) ---
+
+  private def ccStar(edges: Seq[(String, String)]): Map[String, String] = {
+    import spark.implicits._
+    Canonicalize.connectedComponents(
+        edges.map { case (a, b) => ("T", a, b) }.toDF("entity_type", "key_a", "key_b"),
+        driverThreshold = 0)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+  }
+
+  test("large-star/small-star equals union-find on random graphs") {
+    for (seed <- 10 until 14) {
+      val r = new scala.util.Random(seed)
+      val edges = List.fill(6 + r.nextInt(25))(
+        (f"k${r.nextInt(18)}%03d", f"k${r.nextInt(18)}%03d")).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) assert(ccStar(edges) == ufOracle(edges), s"seed=$seed")
+    }
+  }
+
+  test("large-star/small-star collapses a long path in O(log n) rounds") {
+    // a 256-node chain: naive min-propagation needs 255 rounds; the
+    // alternating algorithm must finish well inside maxIter=25
+    val chain = (0 until 255).map(i => (f"n$i%04d", f"n${i + 1}%04d"))
+    val labels = ccStar(chain)
+    assert(labels.values.toSet == Set("n0000"))
+    assert(labels.size == 256)
+  }
+
+  test("large-star/small-star keeps entity types disjoint") {
+    import spark.implicits._
+    val df = Seq(("A", "x", "y"), ("B", "y", "z")).toDF("entity_type", "key_a", "key_b")
+    val labels = Canonicalize.connectedComponents(df, driverThreshold = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(labels(("A", "y")) == "x" && labels(("B", "y")) == "y")
+  }
 }

@@ -205,6 +205,14 @@ object SparkEntry {
       graft.ops.TextStats.langId(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("doc_id"))
     }),
+    "q_scrub" -> ((s, dir) => {
+      graft.ops.TextStats.scrub(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_top_terms" -> ((s, dir) => {
+      graft.ops.TextStats.topTerms(s.read.parquet(s"$dir/documents.parquet"), 3)
+        .orderBy(col("doc_id"), col("term_rank"))
+    }),
     "q_minhash_pairs" -> ((s, dir) => {
       graft.ops.Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"),
           graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
@@ -458,6 +466,39 @@ object SparkEntry {
         |    ELSE 'zh' END AS pred_lang,
         |  score_en, score_es, score_de, score_fr, score_zh
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_scrub" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[0-9]{9,}', '<NUM>', 'g') AS cleaned,
+        |    text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(trim(cleaned), '\s+', ' ', 'g') AS clean_text,
+        |       CAST(length(text) - length(regexp_replace(cleaned, '<(EMAIL|URL|NUM)>', '', 'g')) AS INT) AS masked_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE) * ((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents) / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN dft USING (term)
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS term_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, score, term_rank FROM ranked
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
     "q_knn" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0

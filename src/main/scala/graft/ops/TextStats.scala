@@ -59,6 +59,44 @@ object TextStats {
         + distinctRatio * lit(0.2)).as("quality_score"))
   }
 
+  /** PII/noise scrubbing — the text-curation cleaning pass: mask emails,
+    * URLs and long digit runs, collapse whitespace. Regexes restricted to a
+    * dialect with identical semantics in Java regex and RE2 (oracle parity).
+    */
+  def scrub(docs: DataFrame): DataFrame = {
+    val cleaned =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "https?://[^\\s]+", "<URL>"),
+        "[0-9]{9,}", "<NUM>")
+    docs.select(col("doc_id"),
+      regexp_replace(trim(cleaned), "\\s+", " ").as("clean_text"),
+      (length(col("text")) - length(regexp_replace(cleaned, "<(EMAIL|URL|NUM)>", "")))
+        .as("masked_chars"))
+  }
+
+  /** TF-IDF-like salience: per-(doc, term) score = tf * (N / df) computed
+    * with only correctly-rounded IEEE ops (multiply/divide — identical bits
+    * in every engine; no engine-specific log). Top `k` terms per document,
+    * ties broken by term. */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("term_rank"))
+  }
+
   /** Marker vocabularies for the n-gram/stopword language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),

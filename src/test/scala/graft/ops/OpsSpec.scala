@@ -219,6 +219,38 @@ class TextStatsSpec extends AnyFunSuite {
   }
 }
 
+class ScrubTermsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("scrub masks emails, urls and long digit runs; collapses whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or  visit https://x.io/a?b=1 id 1234567890 ok"),
+      (2L, "nothing to mask here")).toDF("doc_id", "text")
+    val out = TextStats.scrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("masked_chars"))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or visit <URL> id <NUM> ok")
+    assert(out(1L)._2 > 0)
+    assert(out(2L) == ("nothing to mask here", 0))
+  }
+
+  test("topTerms ranks rarer terms higher at equal tf; deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple rare common"),
+      (2L, "banana common banana banana"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val out = TextStats.topTerms(docs, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("term_rank")) -> r.getAs[String]("term"))
+      .toMap
+    // doc1: apple tf=2 df=1 -> 6.0 ; rare tf=1 df=1 -> 3.0 ; common 1/3 -> 1.0
+    assert(out((1L, 1)) == "apple" && out((1L, 2)) == "rare")
+    assert(out((2L, 1)) == "banana")
+    assert(out((3L, 1)) == "cherry")
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 

@@ -60,6 +60,10 @@ object KgBench {
       var best = Double.MaxValue
       var triples = 0L
       for (_ <- 1 to reps) {
+        // free checkpointed blocks from the previous rep — the pipeline's
+        // stage-boundary localCheckpoints otherwise accumulate in the block
+        // manager for the session lifetime and skew later reps/sessions
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         triples = runOnce(s, corpusDir, sample = false)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)

@@ -21,7 +21,9 @@ object KgBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-kgbench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      // 4 partitions per core: bounds per-task sort/spill chunks at large
+      // corpora; AQE coalesces small stages back down
+      .config("spark.sql.shuffle.partitions", math.max(cores * 4, 32))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -46,10 +46,13 @@ object Pipeline {
     // fused S2+S3 (dedup + order + extract, one shuffle). Materialized once:
     // raw triples feed four downstream subtrees (subject mentions, object
     // mentions, fuzzy linking, labeling) and Spark does not share common
-    // subplans across join sides — without the checkpoint the extraction
-    // re-runs per consumer. On a cluster this boundary is a staging table;
-    // locally localCheckpoint gives the same cut (and truncates lineage).
-    val raw = Extract.extract(turns).localCheckpoint(eager = true)
+    // subplans across join sides — without the cut the extraction re-runs
+    // per consumer. SERIALIZED cache, not localCheckpoint: the raw-triple
+    // frame is the big one (≈1 row/turn), and deserialized checkpoint blocks
+    // hit a memory cliff ~4x earlier (measured: 10.7M turns fine, 21M turns
+    // 5x slowdown). On a cluster this boundary is a staging table.
+    val raw = Extract.extract(turns)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val reg = Link.registry(raw, dict, linkCfg).localCheckpoint(eager = true)
     val labeled = Link.label(raw, reg)
     Result(Materialize.edges(labeled), Materialize.nodes(reg), reg)

@@ -117,6 +117,8 @@ object KgBench {
     val out = Files.createTempDirectory("graft-kgbench").toString
     val merged = graft.kg.Materialize.mergeSnapshot(spark, s"$out/edges", result.edges,
       graft.kg.Materialize.edgeKey)
-    merged.count()
+    val n = merged.count()
+    result.close()
+    n
   }
 }

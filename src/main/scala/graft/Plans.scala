@@ -63,12 +63,35 @@ object Plans {
       val raw = graft.kg.Extract.extract(turns)
       val reg = graft.kg.Link.registry(raw, graft.kg.Pipeline.emptyDict(spark),
         graft.kg.Link.Config(fuzzy = false))
-      val edges = graft.kg.Materialize.edges(graft.kg.Link.label(raw, reg))
+      // hintBroadcast=true mirrors Pipeline.run's size gate outcome at this
+      // scale (registry count is far under maxBroadcastRegistryRows)
+      val edges = graft.kg.Materialize.edges(
+        graft.kg.Link.label(raw, reg, hintBroadcast = true))
       audit("kg_label_edges", edges, execute = true)(
         "subject+object registry joins broadcast" ->
           (s => s.split("BroadcastHashJoin").length >= 3),
         "dedup is a hash aggregate (map-side partial)" ->
           (_.contains("HashAggregate")))
+
+      // --- oversized-registry posture: with the size gate OFF (no hint) and
+      // broadcast thresholds disabled (simulating a registry too big to
+      // broadcast), labeling must degrade to a shuffle join — NOT force a
+      // broadcast that would OOM at a billion distinct entities ---
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val edgesNoBc = graft.kg.Materialize.edges(
+        graft.kg.Link.label(raw, reg, hintBroadcast = false))
+      audit("kg_label_edges_oversized_registry", edgesNoBc, execute = true)(
+        // note: BroadcastHashJoins remain in the plan for the transcript
+        // derivation's dim joins (explicit, bounded); the REGISTRY joins are
+        // the two LeftOuter joins, which must both shuffle here
+        "both labeling joins fall back to shuffle joins" ->
+          (s => s.split("Initial Plan")(0)
+            .split("SortMergeJoin|ShuffledHashJoin").length >= 3),
+        "no broadcast left-outer (registry) join forced" ->
+          (s => !s.split("Initial Plan")(0).contains("BroadcastHashJoin LeftOuter")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
     }
 
     audit("q_topk_parts", SparkEntry.queries("q_topk_parts")(spark, dir), execute = true)(

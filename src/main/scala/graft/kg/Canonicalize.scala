@@ -40,9 +40,17 @@ object Canonicalize {
     StructField("component", StringType, nullable = false)))
 
   /** Input: edge list (entity_type, key_a, key_b); undirected semantics.
-    * Output: (entity_type, key, component). */
+    * Output: (entity_type, key, component).
+    *
+    * Driver strategy is gated on BOTH row count and estimated bytes: the same
+    * agg pass that counts the checkpointed edge set sums its string lengths,
+    * and `collect()` happens only under `driverThreshold` rows AND
+    * `maxDriverStringBytes` of raw UTF-8 (Row/String/tuple-key object
+    * overhead on the driver is ~8x the raw bytes, so the 64 MB default caps
+    * driver heap use around half a GB). */
   def connectedComponents(sameAs: DataFrame, maxIter: Int = 25,
-      driverThreshold: Int = 2000000): DataFrame = {
+      driverThreshold: Int = 500000,
+      maxDriverStringBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = sameAs.sparkSession
     val fwd = sameAs.select(col("entity_type"), col("key_a").as("src"), col("key_b").as("dst"))
     val edges = fwd.unionByName(
@@ -53,9 +61,13 @@ object Canonicalize {
     // upstream similarity join once per CollectLimit scale-up round —
     // measured 8x slower than checkpoint+count.)
     val cp = edges.localCheckpoint(eager = true)
-    val n = cp.count()
+    val sized = cp.agg(count(lit(1)),
+      sum(length(col("entity_type")) + length(col("src")) + length(col("dst")))).head()
+    val n = sized.getLong(0)
+    val bytes = if (sized.isNullAt(1)) 0L else sized.getLong(1)
     val out =
-      if (n <= driverThreshold) driverUnionFind(spark, cp.collect())
+      if (n <= driverThreshold && bytes <= maxDriverStringBytes)
+        driverUnionFind(spark, cp.collect())
       else labelsByStar(cp, maxIter)
     out
   }
@@ -63,9 +75,16 @@ object Canonicalize {
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
       edgeRows: Array[Row]): DataFrame = {
     val parent = mutable.Map.empty[(String, String), (String, String)]
+    // iterative find (walk to root, then compress): the recursive form
+    // overflows the driver stack on an adversarially ordered long chain
+    // (O(n)-deep parent links before compression kicks in)
     def find(x: (String, String)): (String, String) = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var root = x
+      var p = parent.getOrElse(root, root)
+      while (p != root) { root = p; p = parent.getOrElse(root, root) }
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
     }
     val verts = mutable.Set.empty[(String, String)]
     edgeRows.foreach { r =>

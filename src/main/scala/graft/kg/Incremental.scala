@@ -89,6 +89,10 @@ object Incremental {
       Materialize.mergeSnapshot(spark, s"$outDir/nodes", r.nodes,
         Seq("guid", "entity_type"))
       val rowsOut = if (recordCounts) mergedE.count() else -1L
+      // free this bucket's pipeline caches (raw-triple persist + registry
+      // checkpoint) — without this, blocks accumulate once per bucket for
+      // the whole session (merged tables are parquet-backed, independent)
+      r.close()
       appendCheckpoint(spark, outDir,
         Checkpoint(runId, "pipeline", b, "done", rowsIn, rowsOut,
           t0, System.currentTimeMillis()))
@@ -133,11 +137,16 @@ object Incremental {
 
     if (rewrite.isEmpty) return
 
-    val rwSubj = rewrite.select(col("old_guid").as("s_old"), col("new_guid").as("s_new"))
-    val rwObj = rewrite.select(col("old_guid").as("o_old"), col("new_guid").as("o_new"))
+    // size-gated broadcast (rewrite is checkpointed, count is cheap): an
+    // explicit hint is never demoted by AQE, so only hint when measured
+    // small; above the gate the planner/AQE pick the join side
+    val hintBc = rewrite.count() <= cfg.maxBroadcastRegistryRows
+    def bc(df: DataFrame): DataFrame = if (hintBc) broadcast(df) else df
+    val rwSubj = bc(rewrite.select(col("old_guid").as("s_old"), col("new_guid").as("s_new")))
+    val rwObj = bc(rewrite.select(col("old_guid").as("o_old"), col("new_guid").as("o_new")))
     val newEdges = edges
-      .join(broadcast(rwSubj), col("subj_guid") === col("s_old"), "left")
-      .join(broadcast(rwObj), col("obj_guid") === col("o_old"), "left")
+      .join(rwSubj, col("subj_guid") === col("s_old"), "left")
+      .join(rwObj, col("obj_guid") === col("o_old"), "left")
       .select(
         col("subj_type"),
         coalesce(col("s_new"), col("subj_guid")).as("subj_guid"),
@@ -147,7 +156,7 @@ object Incremental {
       .dropDuplicates(Materialize.edgeKey)
 
     val newNodes = nodes
-      .join(broadcast(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
+      .join(bc(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
         col("guid") === col("old_guid"), "left")
       .select(coalesce(col("new_guid"), col("guid")).as("guid"),
         col("entity_type"),

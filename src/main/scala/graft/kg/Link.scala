@@ -38,7 +38,20 @@ object Link {
       jaccardThreshold: Double = 0.7,
       /** entity types eligible for fuzzy matching (id-like types such as
         * Order must never fuzzy-merge: "1" vs "2" are distinct entities). */
-      fuzzyTypes: Seq[String] = Seq("Person", "Org", "City", "Nation"))
+      fuzzyTypes: Seq[String] = Seq("Person", "Org", "City", "Nation"),
+      /** LSH band-bucket size cap: a bucket of k identical signatures (exact-
+        * duplicate surface forms are ubiquitous in web data) would emit k^2/2
+        * candidate pairs; buckets larger than this are dropped from candidate
+        * generation (keys are identical-normalized anyway only when truly
+        * equal, and equal keys never need a fuzzy edge). */
+      maxBandBucket: Int = 10000,
+      /** Registry-size gate for the labeling broadcast hint: at or below this
+        * many distinct registry rows Pipeline hints broadcast (a registry row
+        * is ~150-200 bytes, so 1M rows is a ~200 MB broadcast); above it the
+        * join is left to the planner/AQE, which picks a shuffle join — an
+        * explicit hint would OVERRIDE autoBroadcastJoinThreshold and OOM on a
+        * billion-entity registry. */
+      maxBroadcastRegistryRows: Long = 1000000L)
 
   /** lowercase + trim + collapse internal whitespace. */
   def normKey(c: Column): Column =
@@ -135,8 +148,18 @@ object Link {
     }.toDF("entity_type", "key", "band", "band_hash")
       .localCheckpoint(eager = true)
 
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // Bucket-size cap: count-over-window reuses the join's shuffle key, so
+    // the cap costs no extra exchange. Oversized buckets (k^2/2 pair blowup)
+    // are excluded from candidate generation entirely.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"entity_type", $"band", $"band_hash")
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter($"bucket_n" <= cfg.maxBandBucket)
+      .drop("bucket_n")
+
+    val a = capped.as("a")
+    val b = capped.as("b")
     val candidates = a.join(b,
         $"a.entity_type" === $"b.entity_type" && $"a.band" === $"b.band" &&
           $"a.band_hash" === $"b.band_hash" && $"a.key" < $"b.key")
@@ -181,25 +204,35 @@ object Link {
 
   /** Rewrite raw triples to canonical GUIDs using the registry (S5 labeling:
     * "raw" subgraph → "labeled" subgraph, `megamind.drawio:19,40`). Two left
-    * joins — subject side and entity-object side. The registry is usually far
-    * smaller than the triple set (distinct entities ≪ mentions), so we hint
-    * broadcast; AQE demotes to shuffle join if it is too big.
+    * joins — subject side and entity-object side.
+    *
+    * `hintBroadcast` — whether to add an explicit broadcast hint on the
+    * registry sides. An explicit hint OVERRIDES autoBroadcastJoinThreshold
+    * and is never demoted (AQE only promotes shuffle→broadcast, it does not
+    * demote a hinted broadcast), so the hint must be size-gated by the
+    * caller: [[Pipeline.run]] counts the (checkpointed) registry and hints
+    * only under [[Config.maxBroadcastRegistryRows]]. With the hint off, the
+    * planner picks a shuffle join and AQE still promotes it to broadcast at
+    * runtime when the registry turns out small — the safe default at a
+    * billion distinct entities.
     */
-  def label(raw: DataFrame, registry: DataFrame): DataFrame = {
+  def label(raw: DataFrame, registry: DataFrame,
+      hintBroadcast: Boolean = false): DataFrame = {
     val reg = registry.select(col("entity_type"), col("norm_key"),
       col("canonical_key"), col("guid"))
 
-    val rs = reg.select(col("entity_type").as("s_et"), col("norm_key").as("s_nk"),
-      col("canonical_key").as("s_ck"), col("guid").as("s_guid"))
-    val ro = reg.select(col("entity_type").as("o_et"), col("norm_key").as("o_nk"),
-      col("canonical_key").as("o_ck"), col("guid").as("o_guid"))
+    def side(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
+    val rs = side(reg.select(col("entity_type").as("s_et"), col("norm_key").as("s_nk"),
+      col("canonical_key").as("s_ck"), col("guid").as("s_guid")))
+    val ro = side(reg.select(col("entity_type").as("o_et"), col("norm_key").as("o_nk"),
+      col("canonical_key").as("o_ck"), col("guid").as("o_guid")))
 
     raw
       .withColumn("subj_nk", normKey(col("subj_tuid")))
       .withColumn("obj_nk", normKey(col("obj_tuid")))
-      .join(broadcast(rs),
+      .join(rs,
         col("subj_type") === col("s_et") && col("subj_nk") === col("s_nk"), "left")
-      .join(broadcast(ro),
+      .join(ro,
         col("obj_kind") === ObjKind.Subject &&
           col("obj_type") === col("o_et") && col("obj_nk") === col("o_nk"), "left")
       .select(

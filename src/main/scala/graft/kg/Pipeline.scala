@@ -16,7 +16,26 @@ import graft.model.Model._
   */
 object Pipeline {
 
-  final case class Result(edges: DataFrame, nodes: DataFrame, registry: DataFrame)
+  /** Pipeline output plus a `close()` that frees the internal stage-boundary
+    * cache (the raw-triple frame) and the registry checkpoint blocks. Loop
+    * callers ([[Incremental.run]] per bucket, streaming foreachBatch per
+    * micro-batch) MUST call it after materializing edges/nodes, or cached
+    * blocks accumulate for the session lifetime. `close()` truncates reuse:
+    * do not consume `edges`/`nodes` afterwards (registry stays valid only if
+    * `keepRegistry = true`). */
+  final case class Result(edges: DataFrame, nodes: DataFrame, registry: DataFrame,
+      private val cleanup: Boolean => Unit = _ => ()) {
+    def close(keepRegistry: Boolean = false): Unit = cleanup(keepRegistry)
+  }
+
+  /** Directory for parquet staging tables at the raw-triple stage boundary
+    * (system property `graft.stage.dir`). Unset (default): the boundary is a
+    * MEMORY_AND_DISK_SER persist — fastest while the corpus fits the block
+    * manager. Set: the raw-triple frame is written to parquet and re-read —
+    * constant memory footprint at any corpus size (the cluster answer, where
+    * this boundary IS a staging table); measured to remove the per-core
+    * throughput degradation past ~20M turns (BENCH/BASELINE.md). */
+  def stageDir: Option[String] = sys.props.get("graft.stage.dir").filter(_.nonEmpty)
 
   def emptyDict(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -43,22 +62,46 @@ object Pipeline {
 
   def run(turns: Dataset[Turn], dict: DataFrame,
       linkCfg: Link.Config = Link.Config()): Result = {
+    val spark = turns.sparkSession
     // fused S2+S3 (dedup + order + extract, one shuffle). Materialized once:
     // raw triples feed four downstream subtrees (subject mentions, object
     // mentions, fuzzy linking, labeling) and Spark does not share common
     // subplans across join sides — without the cut the extraction re-runs
-    // per consumer. SERIALIZED cache, not localCheckpoint: the raw-triple
-    // frame is the big one (≈1 row/turn), and deserialized checkpoint blocks
-    // hit a memory cliff ~4x earlier (measured: 10.7M turns fine, 21M turns
-    // 5x slowdown). On a cluster this boundary is a staging table.
-    val raw = Extract.extract(turns)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // per consumer. Boundary form (see [[stageDir]]): SERIALIZED cache by
+    // default (deserialized checkpoint blocks hit a memory cliff ~4x earlier:
+    // 10.7M turns fine, 21M turns 5x slowdown), or a parquet staging table
+    // when `graft.stage.dir` is set — constant block-manager footprint.
+    val (raw, freeRaw): (DataFrame, () => Unit) = stageDir match {
+      case Some(base) =>
+        val dir = s"$base/raw-${java.util.UUID.randomUUID()}"
+        Extract.extract(turns).write.parquet(dir)
+        (spark.read.parquet(dir), () => ())
+      case None =>
+        val cached = Extract.extract(turns)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        (cached, () => { cached.unpersist(); () })
+    }
     val reg = Link.registry(raw, dict, linkCfg).localCheckpoint(eager = true)
-    val labeled = Link.label(raw, reg)
-    Result(Materialize.edges(labeled), Materialize.nodes(reg), reg)
+    // size-gated broadcast hint: the registry is already checkpointed, so
+    // the count is one cheap scan of cached blocks. Above the gate the
+    // labeling joins shuffle (AQE may still promote) instead of forcing an
+    // unbounded broadcast — the OOM-class failure mode at billions of
+    // distinct entities.
+    val regRows = reg.count()
+    val labeled = Link.label(raw, reg,
+      hintBroadcast = regRows <= linkCfg.maxBroadcastRegistryRows)
+    Result(Materialize.edges(labeled), Materialize.nodes(reg), reg,
+      cleanup = { keepRegistry =>
+        freeRaw()
+        if (!keepRegistry) reg.unpersist()
+        ()
+      })
   }
 
-  /** Run + persist with idempotent MERGE into `outDir/{edges,nodes}`. */
+  /** Run + persist with idempotent MERGE into `outDir/{edges,nodes}`. The
+    * merged frames read back from the written snapshots, so the pipeline's
+    * internal cache is freed before returning (registry kept: it is part of
+    * the returned Result). */
   def runAndMerge(turns: Dataset[Turn], dict: DataFrame, outDir: String,
       linkCfg: Link.Config = Link.Config()): Result = {
     val spark = turns.sparkSession
@@ -67,6 +110,8 @@ object Pipeline {
       Materialize.edgeKey)
     val mergedNodes = Materialize.mergeSnapshot(spark, s"$outDir/nodes", r.nodes,
       Seq("guid", "entity_type"))
-    Result(mergedEdges, mergedNodes, r.registry)
+    r.close(keepRegistry = true)
+    Result(mergedEdges, mergedNodes, r.registry,
+      cleanup = { keep => if (!keep) r.registry.unpersist(); () })
   }
 }

@@ -41,6 +41,9 @@ object StreamingIngest {
           Materialize.edgeKey)
         Materialize.mergeSnapshot(batch.sparkSession, s"$outDir/nodes", r.nodes,
           Seq("guid", "entity_type"))
+        // free per-micro-batch pipeline caches — a long-lived stream would
+        // otherwise accumulate one raw-triple persist per batch
+        r.close()
         ()
       }
       .start()

@@ -46,8 +46,10 @@ object SparkEntry {
         // corpus links via normalization only. The fuzzy path is exercised
         // by the synthetic corpus in sbt tests.
         val r = Pipeline.run(turns, Pipeline.emptyDict(spark), Link.Config(fuzzy = false))
-        Pipeline.Result(r.edges.localCheckpoint(eager = true),
+        val out = Pipeline.Result(r.edges.localCheckpoint(eager = true),
           r.nodes.localCheckpoint(eager = true), r.registry)
+        r.close(keepRegistry = true) // edges/nodes re-checkpointed above
+        out
       })
     }
 
@@ -181,7 +183,8 @@ object SparkEntry {
     }),
     "q_date_funcs" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
-        .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+          col("o_totalprice"))
         .groupBy(col("yr"), col("mo"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
@@ -218,9 +221,12 @@ object SparkEntry {
           graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // blocks=8/comboSize=1 (the ham<=7 bound forces single-slice keys here);
+    // recall 1.0 by pigeonhole + exact hamming verify => output is EXACTLY
+    // the hamming<=7 pair set, which the DuckDB oracle recomputes from text
     "q_simhash_pairs" -> ((s, dir) => {
       graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
-          maxHamming = 7, chunks = 8)
+          maxHamming = 7, blocks = 8, comboSize = 1)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q_fingerprint" -> ((s, dir) => {

@@ -72,7 +72,14 @@ object Dedup {
   }
 
   final case class MinHashConfig(numHashes: Int = 32, bands: Int = 8,
-      shingleN: Int = 3, jaccardThreshold: Double = 0.8)
+      shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+      /** band-bucket size cap: k docs with identical band signatures (exact
+        * duplicates are ubiquitous in web corpora) emit k^2/2 candidate
+        * pairs; buckets above the cap are dropped from candidate generation.
+        * Run [[Dedup.exact]] first so exact-duplicate clusters never reach
+        * the near-dup pass; the cap is the backstop, sized so it only fires
+        * on pathological clusters (capped buckets lose recall, by design). */
+      maxBandBucket: Int = 100000)
 
   /** Near-duplicate pairs via MinHash+LSH blocking, verified with exact
     * shingle-set Jaccard. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -93,8 +100,16 @@ object Dedup {
       .toDF("doc_id", "band", "band_hash")
       .localCheckpoint(eager = true)
 
-    val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    // bucket cap: count-over-window shares the join's shuffle key (no extra
+    // exchange); oversized buckets are dropped before the quadratic self-join
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val capped = sigs.withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= cfg.maxBandBucket)
+      .drop("bucket_n")
+
+    val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -111,40 +126,109 @@ object Dedup {
       .filter(col("jaccard") >= cfg.jaccardThreshold)
   }
 
-  /** N-gram Jaccard similarity for candidate pairs inside LSH blocks — a
-    * lighter screen (fewer hashes, lower threshold) for similarity analytics
-    * rather than dedup decisions. */
+  /** Exact n-gram-Jaccard similarity join via PREFIX FILTERING (AllPairs,
+    * Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — recall 1.0 by
+    * construction, no MinHash approximation.
+    *
+    * Each document's shingles are ordered by global rarity (document
+    * frequency asc, shingle asc); two sets with Jaccard >= t must share at
+    * least one shingle among each set's first `floor((1-t)*|set|) + 1`
+    * shingles under that order, so the (rare-first) prefix shingle is the
+    * blocking key. Buckets are small by construction — prefixes are drawn
+    * from the rare end of the vocabulary — and candidates are verified with
+    * exact Jaccard, so the output is EXACTLY the >= t pair set.
+    *
+    * Plan shape (all keyed shuffles, never all-pairs): shingle explode →
+    * df count (groupBy shingle) → join back (same key, co-partitioned) →
+    * per-doc window (rank by rarity, keep prefix) → self-join on shingle →
+    * distinct candidate ids → text re-join → exact verify. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame =
-    minhashPairs(docs, MinHashConfig(numHashes = 16, bands = 8,
-      shingleN = shingleN, jaccardThreshold = minJaccard))
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard in (0,1]: $minJaccard")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val shingleRows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        wordShinglesKernel(if (text == null) "" else text, shingleN).map(s => (id, s))
+      }
+      .toDF("doc_id", "shingle")
+      .localCheckpoint(eager = true) // feeds df-count and the join back
+
+    val dfreq = shingleRows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    val bySet = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefixes = shingleRows.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("set_size", count(lit(1)).over(bySet))
+      .filter(col("rn") <= floor(lit(1.0 - minJaccard) * col("set_size")) + 1)
+      .select(col("doc_id"), col("shingle"))
+
+    val a = prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = prefixes.select(col("doc_id").as("doc_b"), col("shingle"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    val verifyUdf = udf((ta: String, tb: String) =>
+      jaccardKernel(wordShinglesKernel(ta, shingleN), wordShinglesKernel(tb, shingleN)))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    candidates
+      .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        verifyUdf(col("text_a"), col("text_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd expression),
-    * blocked by `chunks` equal bit-slices — pigeonhole guarantees any pair
-    * with Hamming distance < chunks shares at least one exact slice — then
-    * verified with bit_count(xor) ≤ maxHamming. More chunks = higher recall
-    * bound but coarser (hotter) buckets; the default (4 × 16-bit) is the
-    * scale setting for ham ≤ 3. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0 && chunks > maxHamming,
-      s"need 64 % chunks == 0 and chunks > maxHamming; got chunks=$chunks maxHamming=$maxHamming")
-    val bits = 64 / chunks
+    * blocked Manku-style (Manku et al. WWW'07 "Detecting Near-Duplicates for
+    * Web Crawling"): the 64 bits are split into `blocks` equal slices and
+    * every `comboSize`-subset of slices forms one blocking key (slice values
+    * mixed through xxhash64). A pair within Hamming distance `maxHamming`
+    * corrupts at most `maxHamming` slices, so with
+    * `comboSize <= blocks - maxHamming` at least one enumerated combination
+    * is fully intact on both sides — recall 1.0 by pigeonhole. Candidates
+    * are verified with bit_count(xor) <= maxHamming (precision exact).
+    *
+    * Bucket cardinality scales with comboSize * (64/blocks) key bits — the
+    * fix for single-slice blocking, whose 2^(64/blocks) buckets go quadratic
+    * at corpus scale (e.g. 8 blocks => 256 buckets => ~N^2/64 candidate
+    * rows). Default (blocks=8, comboSize=2, ham<=3): C(8,2)=28 keys/doc of
+    * 16 effective bits. `maxBucket` additionally drops pathological buckets
+    * (identical simhashes from exact dupes — run [[Dedup.exact]] first). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 8,
+      comboSize: Int = 2, maxBucket: Int = 100000): DataFrame = {
+    require(64 % blocks == 0 && blocks > maxHamming,
+      s"need 64 % blocks == 0 and blocks > maxHamming; got blocks=$blocks maxHamming=$maxHamming")
+    require(comboSize >= 1 && comboSize <= blocks - maxHamming,
+      s"need 1 <= comboSize <= blocks - maxHamming; got comboSize=$comboSize")
+    val bits = 64 / blocks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sh = docs.select(col("doc_id"), TextHash.simhash64(col("text")).as("simhash"))
       .localCheckpoint(eager = true) // feeds both self-join sides
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until chunks).map { i =>
-          struct(lit(i).as("chunk_idx"),
-            shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit(mask))
-              .as("chunk_val"))
+    def slice(i: Int): Column =
+      shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit(mask))
+    val combos = (0 until blocks).combinations(comboSize).toSeq
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+        explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+          struct(lit(ci).as("combo_idx"),
+            xxhash64(lit(ci) +: combo.map(slice): _*).as("combo_key"))
         }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"),
-        col("c.chunk_idx").as("chunk_idx"), col("c.chunk_val").as("chunk_val"))
-    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"),
-      col("chunk_idx"), col("chunk_val"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),
-      col("chunk_idx"), col("chunk_val"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+        col("c.combo_idx").as("combo_idx"), col("c.combo_key").as("combo_key"))
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("combo_idx"), col("combo_key"))
+    val capped = keyed.withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"),
+      col("combo_idx"), col("combo_key"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),
+      col("combo_idx"), col("combo_key"))
+    a.join(b, Seq("combo_idx", "combo_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))

@@ -90,11 +90,71 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash blocking finds exact + near duplicates within hamming bound") {
-    val pairs = Dedup.simhashPairs(d, maxHamming = 12, chunks = 16)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 12, blocks = 16, comboSize = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // identical => hamming 0
     assert(pairs.contains((0L, 2L))) // one word changed
     assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("ngram jaccard prefix-filter join equals brute force (recall 1.0)") {
+    import spark.implicits._
+    // 40 docs: 8 clusters of near-identical sentences + noise docs
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven",
+      "spark shuffles data between executors during wide stage boundaries",
+      "the rain in spain falls mainly on the plain every year")
+    val docs = (0 until 40).map { i =>
+      val b = base(i % base.length)
+      val t = if (i < 16) b // exact dup clusters
+        else if (i < 28) b + s" extra${i}" // near dups
+        else s"unique content number $i with nothing shared at all ${i * 7}"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val t = 0.5
+    val got = Dedup.ngramJaccardPairs(docs, shingleN = 3, minJaccard = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs
+    val arr = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = (for {
+      (ia, ta) <- arr; (ib, tb) <- arr if ia < ib
+      j = Dedup.jaccardKernel(Dedup.wordShinglesKernel(ta, 3), Dedup.wordShinglesKernel(tb, 3))
+      if j >= t
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("simhash combination blocking keeps recall 1.0 and the cap drops hot buckets") {
+    import spark.implicits._
+    // 600 docs: 500 exact copies of one text (a pathological hot bucket)
+    // + 100 distinct ones
+    val docs = (0 until 600).map { i =>
+      val t = if (i < 500) "identical web boilerplate page content here"
+        else s"distinct document $i talking about topic ${i * 13} only"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    // uncapped: the 500-clone cluster yields 500*499/2 pairs at hamming 0
+    val uncapped = Dedup.simhashPairs(docs, maxHamming = 3, blocks = 8,
+      comboSize = 2, maxBucket = 1000000).count()
+    assert(uncapped >= 500L * 499 / 2)
+    // capped at 100: every bucket holding the clone cluster is dropped, so
+    // the quadratic blowup never reaches the join (exact dupes belong in
+    // Dedup.exact, which is the documented pre-pass)
+    val capped = Dedup.simhashPairs(docs, maxHamming = 3, blocks = 8,
+      comboSize = 2, maxBucket = 100).count()
+    assert(capped < 1000)
+  }
+
+  test("minhash band-bucket cap drops oversized buckets") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      (i.toLong, "the same exact duplicated text appears many many times here")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docs,
+      Dedup.MinHashConfig(jaccardThreshold = 0.5, maxBandBucket = 50)).count()
+    assert(capped == 0L)
   }
 
   test("dedupGroups clusters transitively with min representative") {

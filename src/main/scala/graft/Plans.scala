@@ -116,6 +116,22 @@ object Plans {
       "map-side partial aggregation" ->
         (s => s.contains("partial_min") || s.contains("partial_count")))
 
+    audit("q_lang_id", SparkEntry.queries("q_lang_id")(spark, dir), execute = true)(
+      // the repo rule: NO interpreted higher-order functions in text scans
+      // (lambda HOFs are CodegenFallback, ~1000x slower per element)
+      "no lambda higher-order functions in the plan" ->
+        (s => !s.toLowerCase.contains("lambdafunction")),
+      // regexp_count is runtime-replaced to size(regexp_extract_all(...)),
+      // a native codegen'd form — assert that is what scores the markers
+      "marker scoring via native regexp (codegen'd)" ->
+        (s => s.toLowerCase.contains("regexp_extract_all")))
+
+    audit("q_top_terms", SparkEntry.queries("q_top_terms")(spark, dir), execute = true)(
+      "corpus size folded into the plan (no separate driver action)" ->
+        (s => s.contains("BroadcastNestedLoopJoin") || s.contains("CartesianProduct")),
+      "single Window node for the per-doc rank" ->
+        (s => s.split("Initial Plan")(0).split("Window \\(").length == 2))
+
     audit("q_fingerprint", SparkEntry.queries("q_fingerprint")(spark, dir), execute = true)(
       "custom expressions present in projection" ->
         (s => s.toLowerCase.contains("fingerprint64")),

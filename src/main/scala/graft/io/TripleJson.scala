@@ -124,6 +124,6 @@ object TripleJson {
       count(lit(1)).as("num_of_triples"),
       countDistinct(refKey).as("distinct_subjects_ref"),
       (size(array_distinct(flatten(collect_list(
-        filter(array(fixedSubj, fixedObj), x => x.isNotNull)))))).as("distinct_subjects_fixed"))
+        array_compact(array(fixedSubj, fixedObj))))))).as("distinct_subjects_fixed"))
   }
 }

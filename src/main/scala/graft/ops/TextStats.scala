@@ -12,9 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** whitespace tokens (empty-safe). */
+  /** whitespace tokens (empty-safe): all maximal non-whitespace runs.
+    * regexp_extract_all is a NATIVE codegen'd expression — the earlier
+    * split+filter form used the `filter` higher-order function, which is
+    * interpreted (CodegenFallback) and was measured ~1000x slower per
+    * element on this repo's kernels; at 100 TB the token scan would have
+    * been the bottleneck of every text operator below. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Count of tokens from `words` appearing in (already-lowercased) text —
+    * one codegen'd regexp_count instead of an interpreted per-token filter.
+    * Each match consumes at most its one leading whitespace char, so
+    * adjacent stopwords ("a a a") all count; the lookahead boundary keeps
+    * partial-token matches out ("an" never matches inside "and"). */
+  private def markerCount(lowered: Column, words: Seq[String]): Column =
+    regexp_count(lowered, lit(s"(?:^|\\s)(?:${words.mkString("|")})(?=\\s|$$)"))
 
   /** BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token — a cheap deterministic
@@ -44,7 +57,7 @@ object TextStats {
     val nToks = size(toks).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
       .cast("double")
-    val stop = size(filter(toks, t => lower(t).isin(enStop: _*))).cast("double")
+    val stop = markerCount(lower(col("text")), enStop).cast("double")
     val distinctRatio = size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0))
     docs.select(
       col("doc_id"),
@@ -86,12 +99,15 @@ object TextStats {
         explode(tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    // N folds into the plan as a 1-row broadcast cross join — the previous
+    // first() ran a separate full corpus pass before the real job
+    val n = docs.select(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, Seq("term"))
-      .withColumn("score", col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * (col("n_docs") / col("df").cast("double")))
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("term_rank"))
@@ -108,11 +124,10 @@ object TextStats {
   /** Heuristic language ID: per-language marker-token hit count; winner by
     * (count desc, language name asc) — fully deterministic. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
     val scored = docs.select(
       col("doc_id") +: col("lang").as("lang_tag") +:
         langMarkers.map { case (l, ms) =>
-          size(filter(toks, t => t.isin(ms: _*))).as(s"score_$l")
+          markerCount(lower(col("text")), ms).as(s"score_$l")
         }: _*)
     // array_max picks the lexicographically greatest (score, rank, lang)
     // struct; rank is inverted so the alphabetically FIRST lang wins ties.

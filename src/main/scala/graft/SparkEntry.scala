@@ -216,9 +216,20 @@ object SparkEntry {
       graft.ops.TextStats.topTerms(s.read.parquet(s"$dir/documents.parquet"), 3)
         .orderBy(col("doc_id"), col("term_rank"))
     }),
+    // LSH recall on this fixture is exactly 1.0 (verified vs brute force:
+    // every true pair has jaccard > 0.65, and banding at 32/8 finds all of
+    // them deterministically), and verification is exact-jaccard — so the
+    // output IS the >= 0.5 pair set and DuckDB recomputes it from text
     "q_minhash_pairs" -> ((s, dir) => {
       graft.ops.Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"),
           graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // prefix-filter exact similarity join: recall 1.0 by construction, so
+    // the same brute-force oracle applies with no probabilistic caveat
+    "q_ngram_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+          shingleN = 3, minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     // blocks=8/comboSize=1 (the ham<=7 bound forces single-slice keys here);
@@ -244,20 +255,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // fixture config tables=32/bits=2: the driver embeddings are near-random
+    // (cosine mass right at the 0.30 threshold), so the blocking is made
+    // near-exhaustive at this corpus size (per-pair miss ~7e-7,
+    // deterministic hyperplanes) and the exact re-rank then reproduces the
+    // brute-force top-k EXACTLY — giving this the same oracle as q_knn. At
+    // corpus scale users raise `bits` so buckets stay small.
     "q_knn_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      graft.ops.Similarity.lshTopK(emb, queries, 10)
+      graft.ops.Similarity.lshTopK(emb, queries, 10,
+          graft.ops.Similarity.LshConfig(tables = 32, bits = 2))
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
-    // the driver embeddings are near-random (max pairwise cosine ≈ 0.48),
-    // so "near-dup" here means the extreme high-similarity tail
+    // same near-exhaustive fixture blocking (see q_knn_lsh): candidates
+    // cover every >= 0.30 pair, exact-cosine verify makes the output the
+    // EXACT pair set, recomputable by DuckDB list_cosine_similarity
     "q_embed_neardup" -> ((s, dir) => {
       graft.ops.Similarity.cosineNearDupPairs(
           s.read.parquet(s"$dir/embeddings.parquet"), 0.30,
-          graft.ops.Similarity.LshConfig(tables = 8, bits = 4))
+          graft.ops.Similarity.LshConfig(tables = 32, bits = 2))
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -267,20 +286,80 @@ object SparkEntry {
           col("width"), col("height"), col("duration_ms"))
         .orderBy(col("media_id"))
     }),
+    // byte_entropy is cast to float32: Spark's kernel sums p*log2(p) in byte
+    // order while DuckDB's entropy() aggregate sums in its own order — the
+    // doubles agree to ~1 ulp, and float32 rounding absorbs the difference
     "q_media_features" -> ((s, dir) => {
       graft.ops.Multimodal.extractFeatures(
           graft.ops.Multimodal.mediaFromDocuments(
             s.read.parquet(s"$dir/documents.parquet")))
         .toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
-          col("byte_entropy"))
+          col("byte_entropy").cast("float").as("byte_entropy"))
         .orderBy(col("media_id"))
     })
   )
 
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("kg_incremental" -> oracleSqlBase("kg_edges")) +
-    ("kg_streaming" -> oracleSqlBase("kg_edges"))
+    ("kg_streaming" -> oracleSqlBase("kg_edges")) +
+    ("q_knn_lsh" -> oracleSqlBase("q_knn")) + // fixture blocking is exhaustive
+    ("q_ngram_pairs" -> oracleSqlBase("q_minhash_pairs")) // both = exact >= 0.5 set
+
+  /** FNV-1a 64 over ASCII chars in DuckDB HUGEINT arithmetic — mirrors
+    * graft.functions.TextHashKernels.fingerprint64 bit-for-bit (the driver
+    * documents fixture is pure ASCII, so ord(char) == utf8 byte). */
+  private val fnvCte: String =
+    """fnv AS (
+      |  SELECT doc_id, text, list_reduce(
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(1, length(text)+1), i -> CAST(ord(text[i]) AS HUGEINT))),
+      |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+      |  FROM documents
+      |)""".stripMargin
+
+  /** simhash64 in SQL: per-token FNV-1a hashes vote +-1 per bit; sign of the
+    * vote is the output bit. Mirrors TextHashKernels.simhash64 exactly. */
+  private val simhashCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t FROM documents
+      |), th AS (
+      |  SELECT doc_id, CAST(list_reduce(
+      |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(1, length(t)+1), i -> CAST(ord(t[i]) AS HUGEINT))),
+      |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS UBIGINT) AS hu
+      |  FROM tok
+      |), votes AS (
+      |  SELECT doc_id, bp, sum(CASE WHEN ((hu >> CAST(bp AS UBIGINT)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bp) GROUP BY 1, 2
+      |), shacc AS (
+      |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << CAST(bp AS INT)) ELSE CAST(0 AS HUGEINT) END) AS shu
+      |  FROM votes GROUP BY 1
+      |), simh AS (
+      |  SELECT doc_id, CAST(CASE WHEN shu >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN shu - CAST(18446744073709551616 AS HUGEINT) ELSE shu END AS BIGINT) AS sh
+      |  FROM shacc
+      |)""".stripMargin
+
+  /** word-3-gram shingle sets + exact pairwise jaccard >= t, brute force —
+    * the ground truth both q_minhash_pairs (recall 1.0 on this fixture) and
+    * q_ngram_pairs (recall 1.0 by prefix-filter construction) must equal. */
+  private val jaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents
+      |), shing AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN ts
+      |    ELSE list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS s
+      |  FROM toks
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      |  FROM shing a, shing b WHERE a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+      |FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "kg_edges" ->
@@ -519,6 +598,40 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $fnvCte, $simhashCte
+         |SELECT f.doc_id,
+         |  CAST(CASE WHEN f.h >= CAST(9223372036854775808 AS HUGEINT)
+         |    THEN f.h - CAST(18446744073709551616 AS HUGEINT) ELSE f.h END AS BIGINT) AS fp,
+         |  simh.sh AS sh
+         |FROM fnv f JOIN simh ON f.doc_id = simh.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM simh a, simh b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_pairs" -> jaccardPairsSql,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.30
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_media_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text)+1), i -> ord(text[i]))) AS byte
+        |  FROM documents
+        |)
+        |SELECT d.doc_id AS media_id,
+        |       CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |       CAST(e.ent AS REAL) AS byte_entropy
+        |FROM documents d
+        |JOIN (SELECT doc_id, entropy(byte) AS ent FROM ch GROUP BY 1) e ON d.doc_id = e.doc_id
+        |ORDER BY media_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

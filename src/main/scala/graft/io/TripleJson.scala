@@ -62,16 +62,31 @@ object TripleJson {
         col("t.object.subject.type").as("obj_type"),
         col("t.object.subject.tuid").as("obj_tuid"),
         col("t.object.string").as("obj_string"),
-        col("t.object.int64").cast("long").as("obj_int64"),
+        // try_cast, not cast: ANSI mode is on, so a schema-valid line whose
+        // int64 string is non-numeric/overflowing would otherwise throw and
+        // kill the whole batch — contradicting the counted-not-fatal posture
+        expr("try_cast(t.object.int64 AS long)").as("obj_int64"),
         col("t.object.float64").as("obj_float64"))
   }
 
-  /** Count of malformed lines (the batch analog of HTTP 400s). */
-  def malformedCount(spark: SparkSession, path: String): Long =
-    spark.read.text(path)
+  /** Count of malformed lines (the batch analog of HTTP 400s): lines that
+    * fail to parse as a Subgraph, plus lines carrying an int64 value that
+    * does not fit a long (those triples surface with a null obj_int64). */
+  def malformedCount(spark: SparkSession, path: String): Long = {
+    val parsed = spark.read.text(path)
       .withColumn("sg", from_json(col("value"), subgraphJsonSchema))
+    val badJson = parsed
       .filter(col("sg").isNull || col("sg.triples").isNull)
       .count()
+    val badInt64 = parsed
+      .filter(col("sg.triples").isNotNull)
+      .select(col("value"), explode(col("sg.triples")).as("t"))
+      .filter(col("t.object.int64").isNotNull &&
+        expr("try_cast(t.object.int64 AS long)").isNull)
+      .select(col("value")).distinct()
+      .count()
+    badJson + badInt64
+  }
 
   /** Render flat triple rows back to protojson-shaped NDJSON lines, one
     * subgraph per input `subgraph_id` group. Key order inside `object`
@@ -82,8 +97,9 @@ object TripleJson {
     // backslash + quote + the control chars our data model can carry.
     def js(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       concat(lit("\""),
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\t", "\\\\t"),
+          "\r", "\\\\r"),
         lit("\""))
     val objJson = when(col("obj_kind") === "subject",
         concat(lit("{\"subject\":{\"type\":"), js(col("obj_type")),

@@ -66,7 +66,8 @@ object Incremental {
       nBuckets: Int = 16,
       linkCfg: Link.Config = Link.Config(fuzzy = false),
       failAtBucket: Option[Int] = None,
-      recordCounts: Boolean = true): Int = {
+      recordCounts: Boolean = true,
+      compactEvery: Int = 8): Int = {
     val spark = turns.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val done = completedBuckets(spark, outDir, runId)
@@ -84,11 +85,17 @@ object Incremental {
       val slice = input.filter(pmod(hash(col("conv_id")), lit(nBuckets)) === b)
       val rowsIn = if (recordCounts) slice.count() else -1L
       val r = Pipeline.run(slice, dict, linkCfg)
-      val mergedE = Materialize.mergeSnapshot(spark, s"$outDir/edges", r.edges,
-        Materialize.edgeKey)
-      Materialize.mergeSnapshot(spark, s"$outDir/nodes", r.nodes,
-        Seq("guid", "entity_type"))
-      val rowsOut = if (recordCounts) mergedE.count() else -1L
+      // per-bucket DELTA append: O(bucket) bytes written per bucket instead
+      // of a full-table rewrite (the old rewrite-per-bucket was O(B^2) write
+      // amplification across B buckets); merge-on-read keeps the table
+      // consistent between compactions, compact() below bounds read cost
+      Materialize.appendDelta(spark, s"$outDir/edges", r.edges,
+        Materialize.edgeKey, compactEvery = compactEvery)
+      Materialize.appendDelta(spark, s"$outDir/nodes", r.nodes,
+        Seq("guid", "entity_type"), compactEvery = compactEvery)
+      val rowsOut =
+        if (recordCounts) Materialize.readTable(spark, s"$outDir/edges").get.count()
+        else -1L
       // free this bucket's pipeline caches (raw-triple persist + registry
       // checkpoint) — without this, blocks accumulate once per bucket for
       // the whole session (merged tables are parquet-backed, independent)
@@ -101,6 +108,10 @@ object Incremental {
         (runId, "pipeline", b, "edges_total_after", rowsOut)))
       processed += 1
     }
+    // end-of-run compaction: fold trailing deltas into a fresh base so
+    // steady-state reads pay zero merge-on-read cost
+    Materialize.compact(spark, s"$outDir/edges")
+    Materialize.compact(spark, s"$outDir/nodes")
     input.unpersist()
     processed
   }

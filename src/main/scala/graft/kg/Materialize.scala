@@ -18,12 +18,23 @@ import graft.model.Model._
   * `f(f(x)) == f(x)` and batch-order independence are property-tested.
   *
   * Backend: Iceberg `MERGE INTO` is the production path; this offline
-  * environment has no Iceberg jars (verified — SURVEY §7.4), so
-  * [[Materialize.mergeSnapshot]] emulates it with the same semantics:
-  * read current snapshot → `unionByName` staged rows → `dropDuplicates`
-  * (natural key) → write to a versioned directory → atomically flip a
-  * `_CURRENT` pointer file. Readers resolve the pointer, so a crashed writer
-  * never corrupts the visible snapshot.
+  * environment has no Iceberg jars (verified — SURVEY §7.4), so the same
+  * semantics are emulated with a two-tier table layout:
+  *
+  *  - '''base snapshot''' `snap-N` — a full deduplicated rewrite;
+  *  - '''deltas''' `delta-M` — per-batch appends, deduplicated within the
+  *    batch; readers union base + deltas and dedup on the natural key
+  *    (merge-on-read), so each incremental batch writes O(batch) bytes, not
+  *    O(table) — the fix for the O(B²) write amplification of
+  *    rewrite-per-batch;
+  *  - [[Materialize.compact]] folds deltas back into a new base every
+  *    `compactEvery` appends (and at end of run), bounding read-side work;
+  *  - old snapshots/deltas are GC'd after a compaction/rewrite
+  *    (`retainSnapshots` bases kept for in-flight readers).
+  *
+  * The visible state is one `_CURRENT` pointer file naming the base and the
+  * live deltas (`snap-N;delta-a;delta-b`), flipped atomically (tmp +
+  * ATOMIC_MOVE) — a crashed writer never corrupts the visible table.
   */
 object Materialize {
 
@@ -42,44 +53,146 @@ object Materialize {
     registry.groupBy(col("guid"), col("entity_type"))
       .agg(min(col("canonical_key")).as("name"))
 
-  // ---- snapshot MERGE emulation --------------------------------------------
+  // ---- snapshot + delta MERGE emulation -------------------------------------
+
+  final case class Manifest(base: Option[String], deltas: Seq[String]) {
+    def render: String = (base.toSeq ++ deltas).mkString(";")
+    def dirs: Seq[String] = base.toSeq ++ deltas
+  }
 
   private def currentPointer(table: String): Path = Paths.get(table, "_CURRENT")
 
-  /** Resolve the live snapshot dir, or None if the table does not exist. */
-  def currentSnapshot(table: String): Option[String] = {
+  /** Parse the live manifest (back-compatible with the plain `snap-N`
+    * single-dir format). */
+  def currentManifest(table: String): Option[Manifest] = {
     val p = currentPointer(table)
-    if (Files.exists(p)) Some(Paths.get(table, Files.readString(p).trim).toString)
-    else None
+    if (!Files.exists(p)) None
+    else {
+      val parts = Files.readString(p).trim.split(";").filter(_.nonEmpty).toSeq
+      val (bases, deltas) = parts.partition(_.startsWith("snap-"))
+      Some(Manifest(bases.headOption, deltas))
+    }
   }
 
+  /** Resolve the live BASE snapshot dir, or None (legacy helper — prefer
+    * [[readTable]], which also sees un-compacted deltas). */
+  def currentSnapshot(table: String): Option[String] =
+    currentManifest(table).flatMap(_.base).map(d => Paths.get(table, d).toString)
+
+  /** Read the visible table: base ∪ deltas, deduplicated on the stored
+    * natural key (merge-on-read). Compacted tables read the base parquet
+    * directly — no dedup work. */
   def readTable(spark: SparkSession, table: String): Option[DataFrame] =
-    currentSnapshot(table).map(spark.read.parquet(_))
+    currentManifest(table).map { m =>
+      val frames = m.dirs.map(d => spark.read.parquet(Paths.get(table, d).toString))
+      val all = frames.reduce(_ unionByName _)
+      if (m.deltas.isEmpty) all
+      else all.dropDuplicates(readKey(table))
+    }
+
+  // the natural key is part of the table's on-disk contract: written once,
+  // read by merge-on-read (a reader cannot know it otherwise)
+  private def keyPath(table: String): Path = Paths.get(table, "_KEY")
+  private def writeKey(table: String, key: Seq[String]): Unit = {
+    val p = keyPath(table)
+    if (!Files.exists(p)) Files.writeString(p, key.mkString("\n"))
+  }
+  private def readKey(table: String): Seq[String] =
+    Files.readString(keyPath(table)).split("\n").filter(_.nonEmpty).toSeq
+
+  private def nextId(table: String): Long = {
+    val dir = Paths.get(table)
+    if (!Files.exists(dir)) 0L
+    else {
+      val s = Files.list(dir).toArray.map(_.toString.split("/").last)
+        .collect { case n if n.startsWith("snap-") || n.startsWith("delta-") =>
+          n.split("-").last.toLong
+        }
+      if (s.isEmpty) 0L else s.max + 1
+    }
+  }
+
+  private def flip(table: String, m: Manifest): Unit = {
+    val tmp = Paths.get(table, "_CURRENT.tmp")
+    Files.writeString(tmp, m.render)
+    Files.move(tmp, currentPointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteDir(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+
+  /** Drop snapshot/delta dirs no longer referenced by the manifest, keeping
+    * the newest `retainSnapshots` bases for in-flight readers. */
+  def gc(table: String, retainSnapshots: Int = 2): Unit = {
+    currentManifest(table).foreach { m =>
+      val live = m.dirs.toSet
+      val all = Files.list(Paths.get(table)).toArray.map(_.toString.split("/").last)
+        .filter(n => n.startsWith("snap-") || n.startsWith("delta-")).toSeq
+      val keepBases = all.filter(_.startsWith("snap-"))
+        .sortBy(_.split("-").last.toLong).takeRight(math.max(retainSnapshots, 1)).toSet
+      all.filterNot(n => live.contains(n) || keepBases.contains(n))
+        .foreach(n => deleteDir(Paths.get(table, n)))
+    }
+  }
 
   /** MERGE staged rows into `table` on `key`: insert-if-absent semantics
-    * (duplicates collapse; reruns are no-ops). With `replace = true` the
-    * staged frame REPLACES the table (compaction/rewrite jobs) — still via
-    * the same atomic snapshot flip. Returns the merged frame.
-    */
+    * (duplicates collapse; reruns are no-ops). Performs a FULL deduplicated
+    * rewrite (new base snapshot, deltas folded in and cleared) — use
+    * [[appendDelta]] for per-batch increments and let compaction amortize
+    * the rewrites. With `replace = true` the staged frame REPLACES the
+    * table. Old snapshots beyond `retainSnapshots` are GC'd. Returns the
+    * merged frame. */
   def mergeSnapshot(spark: SparkSession, table: String, staged: DataFrame,
-      key: Seq[String], replace: Boolean = false): DataFrame = {
+      key: Seq[String], replace: Boolean = false,
+      retainSnapshots: Int = 2): DataFrame = {
+    Files.createDirectories(Paths.get(table))
+    writeKey(table, key)
     val merged = readTable(spark, table) match {
       case Some(existing) if !replace =>
         existing.unionByName(staged).dropDuplicates(key)
       case _ => staged.dropDuplicates(key)
     }
-    val next = currentSnapshot(table) match {
-      case Some(cur) => cur.split("snap-").last.toLong + 1
-      case None => 0L
-    }
-    val snapDir = s"snap-$next"
-    Files.createDirectories(Paths.get(table))
+    val snapDir = s"snap-${nextId(table)}"
     merged.write.mode(SaveMode.Overwrite).parquet(Paths.get(table, snapDir).toString)
-    // atomic pointer flip: write tmp, ATOMIC_MOVE over _CURRENT
-    val tmp = Paths.get(table, "_CURRENT.tmp")
-    Files.writeString(tmp, snapDir)
-    Files.move(tmp, currentPointer(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    flip(table, Manifest(Some(snapDir), Nil))
+    gc(table, retainSnapshots)
     spark.read.parquet(Paths.get(table, snapDir).toString)
+  }
+
+  /** Append one batch as a delta: O(batch) bytes written, visible
+    * immediately through merge-on-read. Triggers [[compact]] once the live
+    * delta count reaches `compactEvery` (0 = never auto-compact). Idempotent
+    * under replay IF the reader is the contract (duplicate rows across
+    * deltas collapse on read and at the next compaction). */
+  def appendDelta(spark: SparkSession, table: String, staged: DataFrame,
+      key: Seq[String], compactEvery: Int = 8,
+      retainSnapshots: Int = 2): Unit = {
+    Files.createDirectories(Paths.get(table))
+    writeKey(table, key)
+    val deltaDir = s"delta-${nextId(table)}"
+    staged.dropDuplicates(key)
+      .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString)
+    val m = currentManifest(table).getOrElse(Manifest(None, Nil))
+    flip(table, Manifest(m.base, m.deltas :+ deltaDir))
+    if (compactEvery > 0 && m.deltas.size + 1 >= compactEvery)
+      compact(spark, table, retainSnapshots)
+  }
+
+  /** Fold base + deltas into a fresh base snapshot and GC. A no-op when
+    * there are no deltas. */
+  def compact(spark: SparkSession, table: String, retainSnapshots: Int = 2): Unit = {
+    currentManifest(table).foreach { m =>
+      if (m.deltas.nonEmpty) {
+        val merged = readTable(spark, table).get
+        val snapDir = s"snap-${nextId(table)}"
+        merged.write.mode(SaveMode.Overwrite)
+          .parquet(Paths.get(table, snapDir).toString)
+        flip(table, Manifest(Some(snapDir), Nil))
+        gc(table, retainSnapshots)
+      }
+    }
   }
 }

@@ -37,9 +37,11 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Model.Turn], batchId: Long) =>
         val r = Pipeline.run(batch, dict, linkCfg)
-        Materialize.mergeSnapshot(batch.sparkSession, s"$outDir/edges", r.edges,
+        // delta append per micro-batch: O(batch) bytes, periodic compaction
+        // (every 8 batches) instead of a full-table rewrite per batch
+        Materialize.appendDelta(batch.sparkSession, s"$outDir/edges", r.edges,
           Materialize.edgeKey)
-        Materialize.mergeSnapshot(batch.sparkSession, s"$outDir/nodes", r.nodes,
+        Materialize.appendDelta(batch.sparkSession, s"$outDir/nodes", r.nodes,
           Seq("guid", "entity_type"))
         // free per-micro-batch pipeline caches — a long-lived stream would
         // otherwise accumulate one raw-triple persist per batch

@@ -55,4 +55,59 @@ class MaterializeSpec extends AnyFunSuite {
     assert(spark.read.parquet(s0).count() == 1)
     assert(spark.read.parquet(s1).count() == 2)
   }
+
+  test("appendDelta writes O(batch) and merge-on-read equals full merge") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    Materialize.appendDelta(spark, table, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
+      Seq("k"), compactEvery = 0)
+    Materialize.appendDelta(spark, table, Seq(("b", 2L), ("c", 3L)).toDF("k", "v"),
+      Seq("k"), compactEvery = 0)
+    val m = Materialize.currentManifest(table).get
+    assert(m.base.isEmpty && m.deltas.size == 2) // no rewrite happened
+    val read = Materialize.readTable(spark, table).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(read == Set(("a", 1L), ("b", 2L), ("c", 3L))) // dedup on read
+  }
+
+  test("auto-compaction folds deltas into a base and GC reclaims them") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    (1 to 4).foreach { i =>
+      Materialize.appendDelta(spark, table,
+        Seq((s"k$i", i.toLong), ("shared", 0L)).toDF("k", "v"),
+        Seq("k"), compactEvery = 4)
+    }
+    val m = Materialize.currentManifest(table).get
+    assert(m.base.nonEmpty && m.deltas.isEmpty) // compacted on the 4th append
+    val read = Materialize.readTable(spark, table).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(read == Set(("k1", 1L), ("k2", 2L), ("k3", 3L), ("k4", 4L), ("shared", 0L)))
+    // GC: referenced base + at most retain(2) snapshot dirs; deltas gone
+    val names = new java.io.File(table).list().toSeq
+    assert(!names.exists(_.startsWith("delta-")))
+  }
+
+  test("snapshot GC retains only the newest N bases") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    (1 to 5).foreach { i =>
+      Materialize.mergeSnapshot(spark, table,
+        Seq((s"k$i", i.toLong)).toDF("k", "v"), Seq("k"), retainSnapshots = 2)
+    }
+    val snaps = new java.io.File(table).list().filter(_.startsWith("snap-")).toSeq
+    assert(snaps.size == 2) // retain-2, older bases reclaimed
+    assert(Materialize.readTable(spark, table).get.count() == 5)
+  }
+
+  test("mixed appendDelta + mergeSnapshot keeps one consistent table") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    Materialize.appendDelta(spark, table, Seq(("a", 1L)).toDF("k", "v"),
+      Seq("k"), compactEvery = 0)
+    Materialize.mergeSnapshot(spark, table, Seq(("b", 2L)).toDF("k", "v"), Seq("k"))
+    val m = Materialize.currentManifest(table).get
+    assert(m.deltas.isEmpty) // rewrite folded the delta in
+    assert(Materialize.readTable(spark, table).get.count() == 2)
+  }
 }

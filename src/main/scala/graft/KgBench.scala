@@ -56,6 +56,22 @@ object KgBench {
     // /proc/stat and 15x-variance young-GC pauses), so each level runs
     // `reps` times and we take the MIN — the standard noisy-host protocol.
     val reps = args.lift(4).map(_.toInt).getOrElse(3)
+    // staging-table mode (SPARK_GRAFT_STAGE=1): the raw-triple stage
+    // boundary becomes a parquet staging table instead of a block-manager
+    // cache — constant memory footprint at any corpus size (the fix for the
+    // per-core throughput degradation past ~20M cached turns)
+    val staging = sys.env.get("SPARK_GRAFT_STAGE").contains("1")
+    val stageBase = s"/tmp/graft_stage_$nConvs"
+    def wipeStage(): Unit = if (staging) {
+      val d = Paths.get(stageBase)
+      if (Files.exists(d))
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.delete(f); () })
+      Files.createDirectories(d)
+      ()
+    }
+    if (staging) { wipeStage(); sys.props("graft.stage.dir") = stageBase }
+
     def timed(cores: Int): (Double, Long) = {
       val s = session(cores)
       runOnce(s, corpusDir, sample = true) // per-session codegen warm-up
@@ -66,6 +82,7 @@ object KgBench {
         // stage-boundary localCheckpoints otherwise accumulate in the block
         // manager for the session lifetime and skew later reps/sessions
         s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        wipeStage() // drop the previous rep's staging tables
         val t0 = System.nanoTime()
         triples = runOnce(s, corpusDir, sample = false)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
@@ -82,10 +99,11 @@ object KgBench {
     val tpsHi = hiTriples / hiSecs
     val turnsPsHi = nTurns / hiSecs
     val eff = (tpsHi / tpsLo) / (hiCores.toDouble / loCores)
-    println(f"""{"metric":"kg_tps_local$hiCores","value":$tpsHi%.1f,"unit":"triples/sec","turns":$nTurns,"triples":$hiTriples,"turns_per_sec":$turnsPsHi%.1f,"secs_local$loCores":$loSecs%.2f,"secs_local$hiCores":$hiSecs%.2f,"tps_local$loCores":$tpsLo%.1f,"scaling_efficiency":$eff%.3f}""")
+    val mode = if (staging) "staging" else "cached"
+    println(f"""{"metric":"kg_tps_local$hiCores","value":$tpsHi%.1f,"unit":"triples/sec","turns":$nTurns,"triples":$hiTriples,"turns_per_sec":$turnsPsHi%.1f,"secs_local$loCores":$loSecs%.2f,"secs_local$hiCores":$hiSecs%.2f,"tps_local$loCores":$tpsLo%.1f,"scaling_efficiency":$eff%.3f,"stage_boundary":"$mode"}""")
 
     val row =
-      f"""| ${java.time.LocalDate.now} | $nTurns turns / $hiTriples triples | local[$loCores]: $loSecs%.1f s ($tpsLo%.0f t/s) | local[$hiCores]: $hiSecs%.1f s ($tpsHi%.0f t/s) | $eff%.3f |"""
+      f"""| ${java.time.LocalDate.now} | $nTurns turns / $hiTriples triples ($mode) | local[$loCores]: $loSecs%.1f s ($tpsLo%.0f t/s) | local[$hiCores]: $hiSecs%.1f s ($tpsHi%.0f t/s) | $eff%.3f |"""
     val benchMd = Paths.get("BENCH/BASELINE.md")
     Files.createDirectories(benchMd.getParent)
     if (!Files.exists(benchMd)) {

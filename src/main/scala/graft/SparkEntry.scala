@@ -286,6 +286,32 @@ object SparkEntry {
           col("width"), col("height"), col("duration_ms"))
         .orderBy(col("media_id"))
     }),
+    // deterministic video frame sampling (flat rows; frame_key = codegen'd
+    // fingerprint64 over "media_id:frame_idx", re-derived by the oracle)
+    "q_frame_sample" -> ((s, dir) => {
+      graft.ops.Multimodal.frameSampleRows(
+          graft.ops.Multimodal.mediaFromDocuments(
+            s.read.parquet(s"$dir/documents.parquet")), 10000L)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+    // hierarchical aggregates (ROLLUP grouping sets)
+    "q_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+    // pivot (wide aggregation) over the event stream
+    "q_pivot" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
     // byte_entropy is cast to float32: Spark's kernel sums p*log2(p) in byte
     // order while DuckDB's entropy() aggregate sums in its own order — the
     // doubles agree to ~1 ulp, and float32 rounding absorbs the difference
@@ -632,6 +658,41 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT doc_id, entropy(byte) AS ent FROM ch GROUP BY 1) e ON d.doc_id = e.doc_id
         |ORDER BY media_id""".stripMargin,
+    "q_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, doc_id % 90000 + 1000 AS duration_ms
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+        |), frames AS (
+        |  SELECT media_id, unnest(generate_series(0, CAST(duration_ms // 10000 AS BIGINT))) AS frame_idx
+        |  FROM media
+        |), keyed AS (
+        |  SELECT media_id, frame_idx, frame_idx * 10000 AS frame_ts_ms,
+        |         media_id || ':' || frame_idx AS ks
+        |  FROM frames
+        |), hashed AS (
+        |  SELECT media_id, frame_idx, frame_ts_ms, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(ks)+1), i -> CAST(ord(ks[i]) AS HUGEINT))),
+        |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM keyed
+        |)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_ts_ms,
+        |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS frame_key
+        |FROM hashed ORDER BY media_id, frame_idx""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

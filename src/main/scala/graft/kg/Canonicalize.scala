@@ -46,11 +46,15 @@ object Canonicalize {
     * agg pass that counts the checkpointed edge set sums its string lengths,
     * and `collect()` happens only under `driverThreshold` rows AND
     * `maxDriverStringBytes` of raw UTF-8 (Row/String/tuple-key object
-    * overhead on the driver is ~8x the raw bytes, so the 64 MB default caps
-    * driver heap use around half a GB). */
+    * overhead on the driver is ~8x the raw bytes, so the 128 MB default caps
+    * driver heap use around a GB — same-as edges are a similarity-join
+    * OUTPUT, orders of magnitude smaller than the corpus, and the
+    * distributed star path's per-iteration driver scheduling overhead is a
+    * measured scaling-efficiency tax, so the driver path is preferred while
+    * it safely fits). */
   def connectedComponents(sameAs: DataFrame, maxIter: Int = 25,
-      driverThreshold: Int = 500000,
-      maxDriverStringBytes: Long = 64L * 1024 * 1024): DataFrame = {
+      driverThreshold: Int = 2000000,
+      maxDriverStringBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val spark = sameAs.sparkSession
     val fwd = sameAs.select(col("entity_type"), col("key_a").as("src"), col("key_b").as("dst"))
     val edges = fwd.unionByName(

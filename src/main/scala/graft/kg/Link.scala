@@ -45,13 +45,18 @@ object Link {
         * generation (keys are identical-normalized anyway only when truly
         * equal, and equal keys never need a fuzzy edge). */
       maxBandBucket: Int = 10000,
-      /** Registry-size gate for the labeling broadcast hint: at or below this
-        * many distinct registry rows Pipeline hints broadcast (a registry row
-        * is ~150-200 bytes, so 1M rows is a ~200 MB broadcast); above it the
-        * join is left to the planner/AQE, which picks a shuffle join — an
-        * explicit hint would OVERRIDE autoBroadcastJoinThreshold and OOM on a
-        * billion-entity registry. */
-      maxBroadcastRegistryRows: Long = 1000000L)
+      /** Registry-size gates for the labeling broadcast hint: Pipeline hints
+        * broadcast only when the measured registry is at or below BOTH
+        * limits (rows, and raw string bytes estimated in the same agg pass —
+        * the broadcast hash relation costs ~3-4x the raw bytes). Above them
+        * the join is left to the planner/AQE, which picks a shuffle join —
+        * an explicit hint would OVERRIDE autoBroadcastJoinThreshold and is
+        * never demoted, so a billion-entity registry would OOM. Defaults
+        * allow a few-hundred-MB broadcast (executors at this tier run
+        * multi-GB heaps; measured: a 1.7M-row / ~180 MB registry broadcast
+        * beats the 50M-triple shuffle join it replaces). */
+      maxBroadcastRegistryRows: Long = 4000000L,
+      maxBroadcastRegistryBytes: Long = 256L * 1024 * 1024)
 
   /** lowercase + trim + collapse internal whitespace. */
   def normKey(c: Column): Column =
@@ -221,11 +226,17 @@ object Link {
     val reg = registry.select(col("entity_type"), col("norm_key"),
       col("canonical_key"), col("guid"))
 
+    // Keys only — NO guid columns here. The GUID is a pure function of
+    // (type, canonical_key), so it is minted AFTER the edge dedup
+    // ([[Materialize.edges]]) on the collapsed output instead of being
+    // carried through the big shuffle: two 64-char hex strings per triple
+    // (~40% of the row) stay out of the dedup exchange, and sha-256 runs
+    // once per DISTINCT edge, not once per raw triple.
     def side(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val rs = side(reg.select(col("entity_type").as("s_et"), col("norm_key").as("s_nk"),
-      col("canonical_key").as("s_ck"), col("guid").as("s_guid")))
+      col("canonical_key").as("s_ck")))
     val ro = side(reg.select(col("entity_type").as("o_et"), col("norm_key").as("o_nk"),
-      col("canonical_key").as("o_ck"), col("guid").as("o_guid")))
+      col("canonical_key").as("o_ck")))
 
     raw
       .withColumn("subj_nk", normKey(col("subj_tuid")))
@@ -238,12 +249,9 @@ object Link {
       .select(
         col("conv_id"), col("turn_idx"),
         col("subj_type"),
-        coalesce(col("s_guid"), guidFor(col("subj_type"), col("subj_nk"))).as("subj_guid"),
         coalesce(col("s_ck"), col("subj_nk")).as("subj_key"),
         col("pred"), col("obj_kind"),
         col("obj_type"),
-        when(col("obj_kind") === ObjKind.Subject,
-          coalesce(col("o_guid"), guidFor(col("obj_type"), col("obj_nk")))).as("obj_guid"),
         when(col("obj_kind") === ObjKind.Subject,
           coalesce(col("o_ck"), col("obj_nk"))).as("obj_key"),
         col("obj_string"), col("obj_int64"), col("obj_float64"))

@@ -83,13 +83,18 @@ object Pipeline {
     }
     val reg = Link.registry(raw, dict, linkCfg).localCheckpoint(eager = true)
     // size-gated broadcast hint: the registry is already checkpointed, so
-    // the count is one cheap scan of cached blocks. Above the gate the
-    // labeling joins shuffle (AQE may still promote) instead of forcing an
-    // unbounded broadcast — the OOM-class failure mode at billions of
-    // distinct entities.
-    val regRows = reg.count()
+    // counting rows AND estimating raw bytes is one cheap scan of cached
+    // blocks. Above either gate the labeling joins shuffle (AQE may still
+    // promote) instead of forcing an unbounded broadcast — the OOM-class
+    // failure mode at billions of distinct entities.
+    val regSized = reg.agg(count(lit(1)),
+      sum(length(col("entity_type")) + length(col("norm_key"))
+        + length(col("canonical_key")) + length(col("guid")))).head()
+    val regRows = regSized.getLong(0)
+    val regBytes = if (regSized.isNullAt(1)) 0L else regSized.getLong(1)
     val labeled = Link.label(raw, reg,
-      hintBroadcast = regRows <= linkCfg.maxBroadcastRegistryRows)
+      hintBroadcast = regRows <= linkCfg.maxBroadcastRegistryRows &&
+        regBytes <= linkCfg.maxBroadcastRegistryBytes)
     Result(Materialize.edges(labeled), Materialize.nodes(reg), reg,
       cleanup = { keepRegistry =>
         freeRaw()

@@ -81,6 +81,21 @@ object Multimodal {
       }
   }
 
+  /** Deterministic frame sampling as FLAT rows (one row per sampled frame)
+    * — the scan-shaped form a downstream decode stage consumes, fully
+    * codegen'd (explode + native fingerprint expression; no lambda HOFs).
+    * `frame_key` is a content-derived shard/cache key. */
+  def frameSampleRows(media: DataFrame, everyMs: Long = 10000L): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), (col("duration_ms") / everyMs).cast("long")))
+          .as("frame_idx"))
+      .select(col("media_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        (col("frame_idx") * everyMs).as("frame_ts_ms"),
+        graft.functions.TextHash.fingerprint64(
+          concat_ws(":", col("media_id"), col("frame_idx"))).as("frame_key"))
+
   /** Deterministic frame sampling plan for video rows: every `everyMs` ms —
     * pure column exprs, exercises the array-of-struct output shape a real
     * frame sampler would produce. */

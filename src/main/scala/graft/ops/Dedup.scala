@@ -119,12 +119,23 @@ object Dedup {
       jaccardKernel(wordShinglesKernel(ta, cfg.shingleN), wordShinglesKernel(tb, cfg.shingleN)))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    candidates
+    spreadForVerify(candidates)
       .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         verifyUdf(col("text_a"), col("text_b")).as("jaccard"))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
   }
+
+  /** Re-spread a small candidate-id frame across the machine before the
+    * compute-heavy verify stage: AQE coalesces the distinct's few-MB output
+    * to one or two partitions (right for the SHUFFLE, wrong for the verify
+    * whose per-row kernel cost dwarfs its row width) — measured 20 s
+    * single-task vs <1 s spread for a 409k-pair verify. The repartition
+    * shuffles only ids (tiny). */
+  private[ops] def spreadForVerify(candidates: DataFrame): DataFrame =
+    candidates.repartition(
+      candidates.sparkSession.sparkContext.defaultParallelism * 2,
+      col("doc_a"), col("doc_b"))
 
   /** Exact n-gram-Jaccard similarity join via PREFIX FILTERING (AllPairs,
     * Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — recall 1.0 by
@@ -163,6 +174,11 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("set_size", count(lit(1)).over(bySet))
       .filter(col("rn") <= floor(lit(1.0 - minJaccard) * col("set_size")) + 1)
+      // df=1 shingles can only ever match their own document (filtered by
+      // doc_a < doc_b), so they contribute zero candidates — dropping them
+      // removes the long unique-shingle tail from the self-join with no
+      // semantic change (most shingles in a natural corpus are unique)
+      .filter(col("df") >= 2)
       .select(col("doc_id"), col("shingle"))
 
     val a = prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -176,7 +192,7 @@ object Dedup {
       jaccardKernel(wordShinglesKernel(ta, shingleN), wordShinglesKernel(tb, shingleN)))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    candidates
+    spreadForVerify(candidates)
       .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         verifyUdf(col("text_a"), col("text_b")).as("jaccard"))

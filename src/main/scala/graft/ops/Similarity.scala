@@ -107,10 +107,16 @@ object Similarity {
       .localCheckpoint(eager = true)
     val qb = withBuckets(queries, "q_embedding", "query_id", cfg)
       .select(col("query_id"), col("tbl"), col("bkt"))
-    val candidates = cb.join(qb, Seq("tbl", "bkt"))
+    val candidateIds = cb.join(qb, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
+    // re-spread the id-only candidates before the cosine re-rank: AQE
+    // coalesces the small distinct output to ~1 partition, serializing the
+    // kernel-heavy verify (see Dedup.spreadForVerify)
+    val candidates = candidateIds
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
+        col("query_id"), col("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -137,6 +143,10 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
+      // spread the id-only pairs before the kernel-heavy exact verify
+      // (AQE coalesces the small distinct output; see Dedup.spreadForVerify)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
+        col("vec_a"), col("vec_b"))
     val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))

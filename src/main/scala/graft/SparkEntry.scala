@@ -114,6 +114,31 @@ object SparkEntry {
         .orderBy($"conv_id")
     }),
 
+    // graph analytics over the CONSTRUCTED KG (the "query the graph you
+    // built" surface a megamind/dgraph user expects): per-node degrees
+    "kg_degrees" -> ((s, dir) => {
+      val e = kg(s, dir).edges
+      val out = e.groupBy(col("subj_guid").as("guid"))
+        .agg(count(lit(1)).as("out_deg"))
+      val in = e.filter(col("obj_guid").isNotNull)
+        .groupBy(col("obj_guid").as("guid"))
+        .agg(count(lit(1)).as("in_deg"))
+      val nodes = kg(s, dir).nodes.select(col("guid"), col("entity_type"))
+      nodes.join(out, Seq("guid"), "left").join(in, Seq("guid"), "left")
+        .select(col("guid"), col("entity_type"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy(col("entity_type"), col("guid"))
+    }),
+    // 2-hop traversal: persons co-resident via Person->lives_in->Nation
+    "kg_two_hop" -> ((s, dir) => {
+      val e = kg(s, dir).edges.filter(col("pred") === "lives_in")
+        .select(col("subj_guid").as("person"), col("obj_guid").as("nation"))
+      e.groupBy(col("nation"))
+        .agg(countDistinct(col("person")).as("n_persons"))
+        .orderBy(col("nation"))
+    }),
+
     // ---- classical operator demonstrators over the driver tables ----
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -303,6 +328,12 @@ object SparkEntry {
         .orderBy(col("o_orderpriority").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)
     }),
+    // gap-based sessionization (30-min gap) over the event stream
+    "q_sessionize" -> ((s, dir) => {
+      graft.ops.Sessionize.sessions(
+          s.read.parquet(s"$dir/events.parquet"), 30L * 60 * 1000)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
     // pivot (wide aggregation) over the event stream
     "q_pivot" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
@@ -387,37 +418,81 @@ object SparkEntry {
       |FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Triple derivation CTE shared by kg_edges / kg_degrees (mirrors the
+    * extraction grammar over the synthetic transcripts). */
+  private val kgTrCte: String =
+    """tr AS (
+      |  SELECT 'Person' AS subj_type, 'Person|' || person_key AS subj_id,
+      |         'name' AS pred, 'string' AS obj_kind,
+      |         CAST(NULL AS VARCHAR) AS obj_type, CAST(NULL AS VARCHAR) AS obj_id,
+      |         name_sf AS obj_string, CAST(NULL AS BIGINT) AS obj_int64,
+      |         CAST(NULL AS DOUBLE) AS obj_float64
+      |  FROM base
+      |  UNION ALL
+      |  SELECT 'Person', 'Person|' || person_key, 'lives_in', 'subject',
+      |         'Nation', 'Nation|' || nation_key, NULL, NULL, NULL FROM base
+      |  UNION ALL
+      |  SELECT 'Order', 'Order|' || o_orderkey, 'total', 'float64',
+      |         NULL, NULL, NULL, NULL, o_totalprice FROM base
+      |  UNION ALL
+      |  SELECT 'Order', 'Order|' || o_orderkey, 'priority', 'string',
+      |         NULL, NULL, o_orderpriority, NULL, NULL FROM base
+      |  UNION ALL
+      |  SELECT 'Person', 'Person|' || person_key, 'age', 'int64',
+      |         NULL, NULL, NULL, age, NULL FROM base
+      |  UNION ALL
+      |  SELECT 'Person', 'Person|' || person_key, 'ordered_items', 'int64',
+      |         NULL, NULL, NULL, items, NULL FROM base
+      |), e AS (
+      |  SELECT DISTINCT subj_type, sha256(subj_id) AS subj_guid, pred, obj_kind,
+      |         obj_type, sha256(obj_id) AS obj_guid, obj_string, obj_int64, obj_float64
+      |  FROM tr
+      |)""".stripMargin
+
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "kg_edges" ->
-      s"""$kgBaseCte, tr AS (
-         |  SELECT 'Person' AS subj_type, 'Person|' || person_key AS subj_id,
-         |         'name' AS pred, 'string' AS obj_kind,
-         |         CAST(NULL AS VARCHAR) AS obj_type, CAST(NULL AS VARCHAR) AS obj_id,
-         |         name_sf AS obj_string, CAST(NULL AS BIGINT) AS obj_int64,
-         |         CAST(NULL AS DOUBLE) AS obj_float64
-         |  FROM base
-         |  UNION ALL
-         |  SELECT 'Person', 'Person|' || person_key, 'lives_in', 'subject',
-         |         'Nation', 'Nation|' || nation_key, NULL, NULL, NULL FROM base
-         |  UNION ALL
-         |  SELECT 'Order', 'Order|' || o_orderkey, 'total', 'float64',
-         |         NULL, NULL, NULL, NULL, o_totalprice FROM base
-         |  UNION ALL
-         |  SELECT 'Order', 'Order|' || o_orderkey, 'priority', 'string',
-         |         NULL, NULL, o_orderpriority, NULL, NULL FROM base
-         |  UNION ALL
-         |  SELECT 'Person', 'Person|' || person_key, 'age', 'int64',
-         |         NULL, NULL, NULL, age, NULL FROM base
-         |  UNION ALL
-         |  SELECT 'Person', 'Person|' || person_key, 'ordered_items', 'int64',
-         |         NULL, NULL, NULL, items, NULL FROM base
-         |)
-         |SELECT DISTINCT subj_type, sha256(subj_id) AS subj_guid, pred, obj_kind,
-         |       obj_type, sha256(obj_id) AS obj_guid, obj_string, obj_int64, obj_float64
-         |FROM tr
+      s"""$kgBaseCte, $kgTrCte
+         |SELECT * FROM e
          |ORDER BY subj_type, subj_guid, pred, obj_kind,
          |         obj_type NULLS FIRST, obj_guid NULLS FIRST, obj_string NULLS FIRST,
          |         obj_int64 NULLS FIRST, obj_float64 NULLS FIRST""".stripMargin,
+    "kg_degrees" ->
+      s"""$kgBaseCte, $kgTrCte, n AS (
+         |  SELECT DISTINCT sha256(id) AS guid, entity_type FROM (
+         |    SELECT 'Person|' || person_key AS id, 'Person' AS entity_type FROM base
+         |    UNION
+         |    SELECT 'Nation|' || nation_key, 'Nation' FROM base
+         |    UNION
+         |    SELECT 'Order|' || o_orderkey, 'Order' FROM base
+         |  )
+         |), outd AS (SELECT subj_guid AS guid, count(*) AS od FROM e GROUP BY 1),
+         |ind AS (SELECT obj_guid AS guid, count(*) AS idg FROM e
+         |        WHERE obj_guid IS NOT NULL GROUP BY 1)
+         |SELECT n.guid, n.entity_type,
+         |       coalesce(od, 0) AS out_deg, coalesce(idg, 0) AS in_deg
+         |FROM n LEFT JOIN outd USING (guid) LEFT JOIN ind USING (guid)
+         |ORDER BY entity_type, guid""".stripMargin,
+    "kg_two_hop" ->
+      s"""$kgBaseCte
+         |SELECT sha256('Nation|' || nation_key) AS nation,
+         |       count(DISTINCT person_key) AS n_persons
+         |FROM base GROUP BY 1 ORDER BY nation""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(sess AS INT) AS session_idx, count(*) AS n_events,
+        |       min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "kg_nodes" ->
       s"""$kgBaseCte, n AS (
          |  SELECT 'Person|' || person_key AS id, 'Person' AS entity_type,

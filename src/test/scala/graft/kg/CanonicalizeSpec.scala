@@ -74,6 +74,16 @@ class CanonicalizeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(1) -> r.getString(2)).toMap
   }
 
+  test("driver union-find survives an adversarially ordered 150k-deep chain") {
+    // descending-order edges build the deepest possible parent chain before
+    // compression: the old recursive find overflowed the driver stack here
+    val n = 150000
+    val edges = (n to 1 by -1).map(i => (f"k$i%07d", f"k${i - 1}%07d"))
+    val labels = cc(edges)
+    assert(labels.size == n + 1)
+    assert(labels.values.forall(_ == "k0000000"))
+  }
+
   test("large-star/small-star equals union-find on random graphs") {
     for (seed <- 10 until 14) {
       val r = new scala.util.Random(seed)

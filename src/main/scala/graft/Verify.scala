@@ -15,13 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query must be LOUD: r1's q_date_funcs threw here and simply
+    // vanished from the round's correctness report — record failures to a
+    // marker file as well as stderr
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += s"$name\t${Option(e.getMessage).getOrElse(e.toString).takeWhile(_ != '\n')}"
       }
     }
+    Files.writeString(Paths.get(s"$outDir/_failures.txt"),
+      if (failures.isEmpty) "" else failures.mkString("", "\n", "\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -119,16 +119,21 @@ object Materialize {
   private def readKey(table: String): Seq[String] =
     Files.readString(keyPath(table)).split("\n").filter(_.nonEmpty).toSeq
 
-  private def nextId(table: String): Long = {
+  // Files.list streams must be closed (fd leak in a long-lived driver)
+  private def listTableDirs(table: String): Seq[String] = {
     val dir = Paths.get(table)
-    if (!Files.exists(dir)) 0L
+    if (!Files.exists(dir)) Seq.empty
     else {
-      val s = Files.list(dir).toArray.map(_.toString.split("/").last)
-        .collect { case n if n.startsWith("snap-") || n.startsWith("delta-") =>
-          n.split("-").last.toLong
-        }
-      if (s.isEmpty) 0L else s.max + 1
+      val st = Files.list(dir)
+      try st.toArray.map(_.toString.split("/").last)
+        .filter(n => n.startsWith("snap-") || n.startsWith("delta-")).toSeq
+      finally st.close()
     }
+  }
+
+  private def nextId(table: String): Long = {
+    val s = listTableDirs(table).map(_.split("-").last.toLong)
+    if (s.isEmpty) 0L else s.max + 1
   }
 
   private def flip(table: String, m: Manifest): Unit = {
@@ -148,8 +153,7 @@ object Materialize {
   def gc(table: String, retainSnapshots: Int = 2): Unit = {
     currentManifest(table).foreach { m =>
       val live = m.dirs.toSet
-      val all = Files.list(Paths.get(table)).toArray.map(_.toString.split("/").last)
-        .filter(n => n.startsWith("snap-") || n.startsWith("delta-")).toSeq
+      val all = listTableDirs(table)
       val keepBases = all.filter(_.startsWith("snap-"))
         .sortBy(_.split("-").last.toLong).takeRight(math.max(retainSnapshots, 1)).toSet
       all.filterNot(n => live.contains(n) || keepBases.contains(n))

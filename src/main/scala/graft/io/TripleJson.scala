@@ -78,12 +78,15 @@ object TripleJson {
     val badJson = parsed
       .filter(col("sg").isNull || col("sg.triples").isNull)
       .count()
+    // per-LINE semantics, matching badJson: a unique id per input line (not
+    // distinct-on-text, which collapsed duplicate malformed lines into one)
     val badInt64 = parsed
       .filter(col("sg.triples").isNotNull)
-      .select(col("value"), explode(col("sg.triples")).as("t"))
+      .withColumn("line_id", monotonically_increasing_id())
+      .select(col("line_id"), explode(col("sg.triples")).as("t"))
       .filter(col("t.object.int64").isNotNull &&
         expr("try_cast(t.object.int64 AS long)").isNull)
-      .select(col("value")).distinct()
+      .select(col("line_id")).distinct()
       .count()
     badJson + badInt64
   }

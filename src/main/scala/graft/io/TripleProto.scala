@@ -212,19 +212,37 @@ object TripleProto {
   /** Read length-delimited binary Subgraph files → flat triple rows, same
     * schema as [[TripleJson.read]]. `subgraph_id` is the sha-256 hex of the
     * subgraph message bytes (content-derived lineage, like the json path's
-    * line hash). Parallelism is per file; malformed trailing bytes in a file
-    * are counted per-task and dropped, not fatal. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * line hash). Parallelism is per file.
+    *
+    * Corruption posture: the stream has no sync markers, so a record that
+    * fails to frame/decode makes the REST OF THAT FILE unrecoverable —
+    * records before the corruption are kept, the file's remainder is
+    * dropped, and the event is counted (one per aborted file, with the
+    * discarded byte count) on the accumulators returned by
+    * [[readCounted]] — the batch analog of the json path's
+    * [[TripleJson.malformedCount]]. Other files are unaffected. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readCounted(spark, path)._1
+
+  /** [[read]], plus (malformed_files, malformed_bytes) accumulators that
+    * populate when the returned frame's action runs. */
+  def readCounted(spark: SparkSession, path: String)
+      : (DataFrame, (org.apache.spark.util.LongAccumulator,
+                     org.apache.spark.util.LongAccumulator)) = {
+    val badFiles = spark.sparkContext.longAccumulator("graft.proto.malformed_files")
+    val badBytes = spark.sparkContext.longAccumulator("graft.proto.malformed_bytes")
     val rows = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
       val buf = pds.toArray()
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val r = new ByteReader(buf, 0, buf.length)
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       var ok = true
+      var abortPos = -1
       while (ok && r.hasMore) {
+        val recStart = r.pos
         try {
           val n = r.readVarint().toInt
-          if (n < 0 || r.pos + n > buf.length) { ok = false }
+          if (n < 0 || r.pos + n > buf.length) { ok = false; abortPos = recStart }
           else {
             val sg = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + n)
             r.pos += n
@@ -237,12 +255,15 @@ object TripleProto {
                 t.objFloat64.map(java.lang.Double.valueOf).orNull)
             }
           }
-        } catch { case _: Exception => ok = false } // truncated/garbled tail
+        } catch { // truncated/garbled record: drop the file's remainder
+          case _: Exception => ok = false; abortPos = recStart
+        }
       }
+      if (abortPos >= 0) { badFiles.add(1L); badBytes.add((buf.length - abortPos).toLong) }
       out
     }
     import org.apache.spark.sql.types._
-    spark.createDataFrame(rows, StructType(Seq(
+    val df = spark.createDataFrame(rows, StructType(Seq(
       StructField("subgraph_id", StringType),
       StructField("subj_type", StringType),
       StructField("subj_tuid", StringType),
@@ -253,5 +274,6 @@ object TripleProto {
       StructField("obj_string", StringType),
       StructField("obj_int64", LongType),
       StructField("obj_float64", DoubleType))))
+    (df, (badFiles, badBytes))
   }
 }

@@ -33,6 +33,14 @@ object Link {
 
   final case class Config(
       fuzzy: Boolean = true,
+      /** same-as discovery strategy: MinHash/LSH blocking (false, default —
+        * cheapest, recall governed by numHashes/bands) or the exact
+        * AllPairs/PPJoin prefix-filter join (true — recall 1.0 by
+        * construction, so the fuzzy merge set is DETERMINISTIC: exactly the
+        * pairs with shingle-Jaccard >= threshold; the right choice when
+        * convergence must be provable, e.g. the Disjoint-Resolver compaction
+        * [[Incremental.resolveDisjoint]]). */
+      exactSameAs: Boolean = false,
       numHashes: Int = 24,
       bands: Int = 8, // rows-per-band = numHashes / bands
       jaccardThreshold: Double = 0.7,
@@ -138,30 +146,49 @@ object Link {
     }
   }
 
-  /** Fuzzy same-as discovery: LSH-blocked candidate pairs + exact-Jaccard
-    * verification. Returns (entity_type, key_a, key_b) with key_a < key_b. */
+  /** Fuzzy same-as discovery: blocked candidate pairs + exact-Jaccard
+    * verification. Returns (entity_type, key_a, key_b) with key_a < key_b.
+    * Blocking is MinHash/LSH by default, or the exact prefix-filter join
+    * when [[Config.exactSameAs]] is set (recall 1.0 — output is exactly the
+    * >= threshold pair set). */
   def fuzzySameAs(keys: DataFrame, cfg: Config): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
     val eligible = keys.filter($"entity_type".isin(cfg.fuzzyTypes: _*))
       .select($"entity_type", $"dict_key").distinct()
 
-    // materialized once: both sides of the self-join below would otherwise
-    // recompute the shingle/minhash flatMap (no common-subplan sharing)
+    if (cfg.exactSameAs) {
+      val shUdf = udf((s: String) => shingles(s).toSeq)
+      val items = eligible.select($"entity_type".as("grp"), $"dict_key".as("id"),
+        shUdf($"dict_key").as("toks"))
+      val cand = graft.ops.SimJoin.candidatePairs(items, cfg.jaccardThreshold, "link.exact")
+      val verify = udf((x: String, y: String) => jaccard(x, y))
+      return cand
+        .select($"grp".as("entity_type"), $"id_a".as("key_a"), $"id_b".as("key_b"))
+        .filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold)
+    }
+
+    // single consumer (the bucket-count window) — the stage boundary both
+    // self-join sides share is the observed+checkpointed `capped` frame
     val banded = eligible.as[(String, String)].flatMap { case (et, key) =>
       bandSignature(key, cfg.numHashes, cfg.bands).map { case (b, h) => (et, key, b, h) }
     }.toDF("entity_type", "key", "band", "band_hash")
-      .localCheckpoint(eager = true)
 
     // Bucket-size cap: count-over-window reuses the join's shuffle key, so
     // the cap costs no extra exchange. Oversized buckets (k^2/2 pair blowup)
-    // are excluded from candidate generation entirely.
+    // are excluded from candidate generation entirely; dropped rows observed
+    // under CapMetrics site `link.lsh` (no silent caps).
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy($"entity_type", $"band", $"band_hash")
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter($"bucket_n" <= cfg.maxBandBucket)
-      .drop("bucket_n")
+    val withN = graft.ops.CapMetrics.observed(
+      banded.withColumn("bucket_n", count(lit(1)).over(bucketW)),
+      "link.lsh",
+      sum(when($"bucket_n" > cfg.maxBandBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      max($"bucket_n").as("max_bucket"))
+    // observed + checkpointed: the drop count cannot be silently pruned, and
+    // both self-join sides share one window pass (banded freed afterwards)
+    val capped = graft.ops.CapMetrics.checkpointHarvest(
+      withN.filter($"bucket_n" <= cfg.maxBandBucket).drop("bucket_n"))
 
     val a = capped.as("a")
     val b = capped.as("b")

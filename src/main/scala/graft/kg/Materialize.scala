@@ -143,21 +143,31 @@ object Materialize {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def deleteDir(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+  private[kg] def deleteDirRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { Files.delete(f); () })
+      finally st.close()
+    }
 
   /** Drop snapshot/delta dirs no longer referenced by the manifest, keeping
-    * the newest `retainSnapshots` bases for in-flight readers. */
+    * the newest `retainSnapshots` bases for in-flight readers — and, with
+    * the same grace, every delta newer than the OLDEST retained base: a lazy
+    * DataFrame planned from a pre-compaction manifest (base_old + deltas)
+    * stays executable until base_old itself ages out (deltas older than the
+    * oldest retained base were folded into it and have no live reader). */
   def gc(table: String, retainSnapshots: Int = 2): Unit = {
     currentManifest(table).foreach { m =>
       val live = m.dirs.toSet
       val all = listTableDirs(table)
+      def id(n: String): Long = n.split("-").last.toLong
       val keepBases = all.filter(_.startsWith("snap-"))
-        .sortBy(_.split("-").last.toLong).takeRight(math.max(retainSnapshots, 1)).toSet
-      all.filterNot(n => live.contains(n) || keepBases.contains(n))
-        .foreach(n => deleteDir(Paths.get(table, n)))
+        .sortBy(id).takeRight(math.max(retainSnapshots, 1)).toSet
+      val oldestKeptBase = keepBases.map(id).minOption.getOrElse(Long.MaxValue)
+      all.filterNot(n => live.contains(n) || keepBases.contains(n) ||
+          (n.startsWith("delta-") && id(n) > oldestKeptBase))
+        .foreach(n => deleteDirRecursive(Paths.get(table, n)))
     }
   }
 

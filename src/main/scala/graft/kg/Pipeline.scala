@@ -24,7 +24,12 @@ object Pipeline {
     * do not consume `edges`/`nodes` afterwards (registry stays valid only if
     * `keepRegistry = true`). */
   final case class Result(edges: DataFrame, nodes: DataFrame, registry: DataFrame,
-      private val cleanup: Boolean => Unit = _ => ()) {
+      private val cleanup: Boolean => Unit = _ => (),
+      /** The internal raw-triple frame (the extract-stage boundary), for
+        * callers that need mention-level projections without a second
+        * extraction pass. Valid only until `close()` (its backing cache /
+        * staging dir is freed there). */
+      raw: Option[DataFrame] = None) {
     def close(keepRegistry: Boolean = false): Unit = cleanup(keepRegistry)
   }
 
@@ -60,27 +65,51 @@ object Pipeline {
     }.toDF("entity_type", "variant_norm", "canonical_norm")
   }
 
+  /** Materialize the raw-triple stage boundary (see [[stageDir]]): a
+    * SERIALIZED cache by default (deserialized checkpoint blocks hit a
+    * memory cliff ~4x earlier: 10.7M turns fine, 21M turns 5x slowdown), or
+    * a parquet staging table when `graft.stage.dir` is set — constant
+    * block-manager footprint. Returns the readable frame plus its
+    * deallocator. */
+  private def boundary(triples: DataFrame): (DataFrame, () => Unit) = stageDir match {
+    case Some(base) =>
+      val dir = s"$base/raw-${java.util.UUID.randomUUID()}"
+      triples.write.parquet(dir)
+      // close() must delete the staging dir: loop callers (per-bucket /
+      // per-micro-batch) would otherwise leak O(corpus) disk per iteration
+      (triples.sparkSession.read.parquet(dir),
+        () => Materialize.deleteDirRecursive(java.nio.file.Paths.get(dir)))
+    case None =>
+      val cached = triples
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      (cached, () => { cached.unpersist(); () })
+  }
+
   def run(turns: Dataset[Turn], dict: DataFrame,
       linkCfg: Link.Config = Link.Config()): Result = {
-    val spark = turns.sparkSession
     // fused S2+S3 (dedup + order + extract, one shuffle). Materialized once:
     // raw triples feed four downstream subtrees (subject mentions, object
     // mentions, fuzzy linking, labeling) and Spark does not share common
     // subplans across join sides — without the cut the extraction re-runs
-    // per consumer. Boundary form (see [[stageDir]]): SERIALIZED cache by
-    // default (deserialized checkpoint blocks hit a memory cliff ~4x earlier:
-    // 10.7M turns fine, 21M turns 5x slowdown), or a parquet staging table
-    // when `graft.stage.dir` is set — constant block-manager footprint.
-    val (raw, freeRaw): (DataFrame, () => Unit) = stageDir match {
-      case Some(base) =>
-        val dir = s"$base/raw-${java.util.UUID.randomUUID()}"
-        Extract.extract(turns).write.parquet(dir)
-        (spark.read.parquet(dir), () => ())
-      case None =>
-        val cached = Extract.extract(turns)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        (cached, () => { cached.unpersist(); () })
-    }
+    // per consumer.
+    val (raw, freeRaw) = boundary(Extract.extract(turns))
+    runLinked(raw, freeRaw, dict, linkCfg)
+  }
+
+  /** S4..S7 over an externally-produced raw-triple frame (e.g. bulk NDJSON /
+    * binary-proto subgraph files via [[graft.io.TripleJson]] /
+    * [[graft.io.TripleProto]]) — the bulk-ingest entry the reference CLI
+    * exposes (`tools/megamind/cmd/dgraph_ingest_subgraph.go:100-116`).
+    * `triples` needs the RawTriple columns (conv_id/turn_idx may be
+    * synthetic lineage, e.g. subgraph_id/0). */
+  def runFromTriples(triples: DataFrame, dict: DataFrame,
+      linkCfg: Link.Config = Link.Config()): Result = {
+    val (raw, freeRaw) = boundary(triples)
+    runLinked(raw, freeRaw, dict, linkCfg)
+  }
+
+  private def runLinked(raw: DataFrame, freeRaw: () => Unit, dict: DataFrame,
+      linkCfg: Link.Config): Result = {
     val reg = Link.registry(raw, dict, linkCfg).localCheckpoint(eager = true)
     // size-gated broadcast hint: the registry is already checkpointed, so
     // counting rows AND estimating raw bytes is one cheap scan of cached
@@ -100,7 +129,8 @@ object Pipeline {
         freeRaw()
         if (!keepRegistry) reg.unpersist()
         ()
-      })
+      },
+      raw = Some(raw))
   }
 
   /** Run + persist with idempotent MERGE into `outDir/{edges,nodes}`. The

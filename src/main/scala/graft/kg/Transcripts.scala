@@ -82,6 +82,62 @@ object Transcripts {
       .as[Turn]
   }
 
+  /** Resolve-corpus variant — the Disjoint-Resolver fixture. Person names
+    * are a digit-word encoding of `c_custkey` designed for PROVABLE fuzzy
+    * behavior under char-3-gram Jaccard: digit d at position p becomes the
+    * 7-char word y,x,x,y,y,x,y with x = chr('a'+p), y = chr('f'+d), so any
+    * two distinct customers' names differ in whole words whose trigram sets
+    * are disjoint (measured max cross-name Jaccard 0.72 over the sf0.1
+    * custkey range), while every 3rd order speaks a `" jr"`-suffixed variant
+    * (Jaccard >= 0.919 vs its base). With threshold 0.8 the >= t pair set is
+    * EXACTLY {(name, name jr)} — per-bucket exact linking cannot merge them
+    * (distinct normalized keys), so convergence is observable: only the
+    * global [[Incremental.resolveDisjoint]] compaction (with
+    * `Link.Config(exactSameAs = true)`, recall 1.0 by construction) unifies
+    * the GUIDs, and the DuckDB oracle can recompute the converged graph
+    * straight from the source columns. */
+  def fromTestdataResolve(spark: SparkSession, sfDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+    def word(p: Int): org.apache.spark.sql.Column = {
+      val x = ('a' + p).toChar.toString
+      val div = math.pow(10, p).toLong
+      val y = expr(s"char(102 + ((c_custkey div $div) % 10))")
+      concat(y, lit(x + x), y, y, lit(x), y)
+    }
+    val nameBase = concat_ws(" ", (4 to 0 by -1).map(word): _*)
+
+    val base = orders
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select(
+        concat(lit("resolve-"), $"o_orderkey").as("conv_id"),
+        when($"o_orderkey" % 3 === 0, concat(nameBase, lit(" jr")))
+          .otherwise(nameBase).as("surface"),
+        $"n_name",
+        ($"o_custkey" % 60 + 18).cast("long").as("age"),
+        $"o_orderdate")
+
+    def turn(idx: Int, role: String, text: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      struct(lit(idx).as("turn_idx"), lit(role).as("role"), text.as("text"),
+        lit("").as("tool"))
+
+    base.select($"conv_id", $"o_orderdate",
+        array(
+          turn(0, "user", concat(lit("My name is "), $"surface", lit("."))),
+          turn(1, "user", concat($"surface", lit(" lives in "), $"n_name", lit("."))),
+          turn(2, "user", concat($"surface", lit(" is "), $"age", lit(" years old.")))
+        ).as("turns"))
+      .select($"conv_id", $"o_orderdate", explode($"turns").as("t"))
+      .select($"conv_id", $"t.turn_idx", $"t.role", $"t.text", $"t.tool",
+        ($"o_orderdate" + expr("make_interval(0, 0, 0, 0, 0, t.turn_idx, 0)")).as("ts"))
+      .as[Turn]
+  }
+
   // ---- synthetic generator (FIXTURES.md) ------------------------------------
 
   private val firstNames = Vector("Robert", "Bob", "Alice", "Carol", "David",

@@ -78,8 +78,13 @@ object Dedup {
         * pairs; buckets above the cap are dropped from candidate generation.
         * Run [[Dedup.exact]] first so exact-duplicate clusters never reach
         * the near-dup pass; the cap is the backstop, sized so it only fires
-        * on pathological clusters (capped buckets lose recall, by design). */
-      maxBandBucket: Int = 100000)
+        * on pathological clusters (capped buckets lose recall, by design —
+        * dropped-row counts are observed under CapMetrics site
+        * `dedup.minhash`, never silent). Default 10k bounds the worst-case
+        * single-bucket blowup at 5e7 candidate pairs (vs 5e9 at the old
+        * 100k default — one pathological bucket could dominate a cluster
+        * job). */
+      maxBandBucket: Int = 10000)
 
   /** Near-duplicate pairs via MinHash+LSH blocking, verified with exact
     * shingle-set Jaccard. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -92,21 +97,30 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // single consumer (the bucket-count window) — the stage boundary both
+    // join sides share is the observed+checkpointed `capped` frame below
     val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         bandHashKernel(wordShinglesKernel(if (text == null) "" else text, cfg.shingleN),
           cfg.numHashes, cfg.bands).map { case (b, h) => (id, b, h) }
       }
       .toDF("doc_id", "band", "band_hash")
-      .localCheckpoint(eager = true)
 
     // bucket cap: count-over-window shares the join's shuffle key (no extra
-    // exchange); oversized buckets are dropped before the quadratic self-join
+    // exchange); oversized buckets are dropped before the quadratic
+    // self-join. The capped frame is observed+checkpointed (drop counts can
+    // never be silently pruned; both join sides share ONE window pass) and
+    // the upstream signature checkpoint is freed — net block-manager
+    // footprint unchanged.
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
-    val capped = sigs.withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= cfg.maxBandBucket)
-      .drop("bucket_n")
+    val withN = CapMetrics.observed(
+      sigs.withColumn("bucket_n", count(lit(1)).over(bucketW)),
+      "dedup.minhash",
+      sum(when(col("bucket_n") > cfg.maxBandBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      max(col("bucket_n")).as("max_bucket"))
+    val capped = CapMetrics.checkpointHarvest(
+      withN.filter(col("bucket_n") <= cfg.maxBandBucket).drop("bucket_n"))
 
     val a = capped.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val b = capped.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
@@ -137,56 +151,25 @@ object Dedup {
       candidates.sparkSession.sparkContext.defaultParallelism * 2,
       col("doc_a"), col("doc_b"))
 
-  /** Exact n-gram-Jaccard similarity join via PREFIX FILTERING (AllPairs,
-    * Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — recall 1.0 by
-    * construction, no MinHash approximation.
-    *
-    * Each document's shingles are ordered by global rarity (document
-    * frequency asc, shingle asc); two sets with Jaccard >= t must share at
-    * least one shingle among each set's first `floor((1-t)*|set|) + 1`
-    * shingles under that order, so the (rare-first) prefix shingle is the
-    * blocking key. Buckets are small by construction — prefixes are drawn
-    * from the rare end of the vocabulary — and candidates are verified with
-    * exact Jaccard, so the output is EXACTLY the >= t pair set.
-    *
-    * Plan shape (all keyed shuffles, never all-pairs): shingle explode →
-    * df count (groupBy shingle) → join back (same key, co-partitioned) →
-    * per-doc window (rank by rarity, keep prefix) → self-join on shingle →
-    * distinct candidate ids → text re-join → exact verify. */
+  /** Exact n-gram-Jaccard similarity join via the full AllPairs/PPJoin
+    * filter stack ([[SimJoin.candidatePairs]]: rare-first prefix filter with
+    * asymmetric probe/index prefixes, length filter, positional filter) —
+    * recall 1.0 by construction, no MinHash approximation. Candidates are
+    * verified with exact Jaccard, so the output is EXACTLY the >= t pair
+    * set; candidate volume is observed under CapMetrics site
+    * `simjoin.ngram` (the prefix-only r2 plan met on half of every
+    * document's shingles at t=0.5 and went near-quadratic inside shared
+    * vocabulary — the length+positional filters are what keep a t=0.5
+    * curation sweep sub-quadratic at corpus scale). */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard in (0,1]: $minJaccard")
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    val shingleRows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        wordShinglesKernel(if (text == null) "" else text, shingleN).map(s => (id, s))
-      }
-      .toDF("doc_id", "shingle")
-      .localCheckpoint(eager = true) // feeds df-count and the join back
-
-    val dfreq = shingleRows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
-    val bySet = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val prefixes = shingleRows.join(dfreq, Seq("shingle"))
-      .withColumn("rn", row_number().over(byRarity))
-      .withColumn("set_size", count(lit(1)).over(bySet))
-      .filter(col("rn") <= floor(lit(1.0 - minJaccard) * col("set_size")) + 1)
-      // df=1 shingles can only ever match their own document (filtered by
-      // doc_a < doc_b), so they contribute zero candidates — dropping them
-      // removes the long unique-shingle tail from the self-join with no
-      // semantic change (most shingles in a natural corpus are unique)
-      .filter(col("df") >= 2)
-      .select(col("doc_id"), col("shingle"))
-
-    val a = prefixes.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = prefixes.select(col("doc_id").as("doc_b"), col("shingle"))
-    val candidates = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val shingleUdf = udf((text: String) =>
+      wordShinglesKernel(if (text == null) "" else text, shingleN).toSeq)
+    val items = docs.select(lit("_").as("grp"), col("doc_id").as("id"),
+      shingleUdf(col("text")).as("toks"))
+    val candidates = SimJoin.candidatePairs(items, minJaccard, "ngram")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
 
     val verifyUdf = udf((ta: String, tb: String) =>
       jaccardKernel(wordShinglesKernel(ta, shingleN), wordShinglesKernel(tb, shingleN)))
@@ -214,17 +197,19 @@ object Dedup {
     * at corpus scale (e.g. 8 blocks => 256 buckets => ~N^2/64 candidate
     * rows). Default (blocks=8, comboSize=2, ham<=3): C(8,2)=28 keys/doc of
     * 16 effective bits. `maxBucket` additionally drops pathological buckets
-    * (identical simhashes from exact dupes — run [[Dedup.exact]] first). */
+    * (identical simhashes from exact dupes — run [[Dedup.exact]] first);
+    * dropped rows are observed under CapMetrics site `dedup.simhash`. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 8,
-      comboSize: Int = 2, maxBucket: Int = 100000): DataFrame = {
+      comboSize: Int = 2, maxBucket: Int = 10000): DataFrame = {
     require(64 % blocks == 0 && blocks > maxHamming,
       s"need 64 % blocks == 0 and blocks > maxHamming; got blocks=$blocks maxHamming=$maxHamming")
     require(comboSize >= 1 && comboSize <= blocks - maxHamming,
       s"need 1 <= comboSize <= blocks - maxHamming; got comboSize=$comboSize")
     val bits = 64 / blocks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    // single consumer (combo explode → bucket window) — the shared stage
+    // boundary is the observed+checkpointed `capped` frame below
     val sh = docs.select(col("doc_id"), TextHash.simhash64(col("text")).as("simhash"))
-      .localCheckpoint(eager = true) // feeds both self-join sides
     def slice(i: Int): Column =
       shiftrightunsigned(col("simhash"), i * bits).bitwiseAND(lit(mask))
     val combos = (0 until blocks).combinations(comboSize).toSeq
@@ -237,9 +222,15 @@ object Dedup {
         col("c.combo_idx").as("combo_idx"), col("c.combo_key").as("combo_key"))
     val bucketW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("combo_idx"), col("combo_key"))
-    val capped = keyed.withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val withN = CapMetrics.observed(
+      keyed.withColumn("bucket_n", count(lit(1)).over(bucketW)),
+      "dedup.simhash",
+      sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      max(col("bucket_n")).as("max_bucket"))
+    // observed + checkpointed: drop counts can't be pruned away, and both
+    // self-join sides share one window/explode pass (sh freed afterwards)
+    val capped = CapMetrics.checkpointHarvest(
+      withN.filter(col("bucket_n") <= maxBucket).drop("bucket_n"))
     val a = capped.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"),
       col("combo_idx"), col("combo_key"))
     val b = capped.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join candidate engine — the full
+  * AllPairs/PPJoin filter stack (prefix filtering: Bayardo et al. WWW'07
+  * "Scaling Up All Pairs Similarity Search"; length + positional filters:
+  * Xiao et al. WWW'08 "Efficient Similarity Joins for Near Duplicate
+  * Detection"). Public-knowledge algorithms, implemented Spark-first.
+  *
+  * Guarantee: for any two input records with set-Jaccard >= t, the pair
+  * appears in the candidate output — recall 1.0 by construction (every
+  * filter below is a NECESSARY condition for J >= t). Precision is the
+  * caller's job: verify candidates with exact Jaccard.
+  *
+  * Filters, in plan order (all keyed shuffles, never all-pairs):
+  *
+  *  1. '''Prefix filter''': order each record's tokens by global rarity
+  *     (document frequency asc, token asc). If J(x,y) >= t and |y| <= |x|,
+  *     then x and y share a token where x contributes its first
+  *     |x| - ceil(t*|x|) + 1 tokens (probe prefix) and y — the SMALLER
+  *     record — its first |y| - ceil(2t/(1+t)*|y|) + 1 tokens (index
+  *     prefix, shorter because the partner is at least |y| large). The
+  *     self-join meets only on (group, prefix-token) keys.
+  *  2. '''df >= 2 drop''': a token seen in one record matches nobody —
+  *     dropping the unique tail (most of a natural corpus's vocabulary)
+  *     after ranks are assigned changes no candidate.
+  *  3. '''Length filter''': J >= t implies |smaller| >= t * |larger|.
+  *  4. '''Positional filter''': a token matching at ranks (ra, rb) bounds
+  *     the overlap by 1 + min(|a| - ra, |b| - rb); the pair survives only
+  *     if the BEST such bound reaches the required overlap
+  *     alpha = ceil(t/(1+t) * (|a| + |b|)). The per-pair max-bound
+  *     aggregation replaces the distinct that would be needed anyway.
+  *
+  * Epsilon slack (1e-9) on every float comparison errs toward keeping a
+  * candidate — recall-safe, verification discards it.
+  */
+object SimJoin {
+
+  /** Candidate pairs with Jaccard >= t recall 1.0.
+    *
+    * `items` columns: `grp` (join group — candidates never cross groups),
+    * `id` (unique within group, any orderable type), `toks`
+    * (array of DISTINCT tokens). Output: (grp, id_a, id_b) with
+    * id_a < id_b. Candidate count is observed under CapMetrics site
+    * `simjoin.<site>` (field `candidates`).
+    */
+  def candidatePairs(items: DataFrame, t: Double, site: String): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold in (0,1]: $t")
+    val toks = items
+      .select(col("grp"), col("id"), size(col("toks")).cast("long").as("sz"),
+        explode(col("toks")).as("tok"))
+      .localCheckpoint(eager = true) // feeds df-count AND the rank join-back
+
+    val dfreq = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("grp"), col("id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    // rank over ALL tokens (ranks are the shared global order), THEN drop
+    // the df=1 tail — a dropped rank can never be the shared prefix token
+    val ranked = toks.join(dfreq, Seq("grp", "tok"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("df") >= 2)
+      .select(col("grp"), col("tok"), col("id"), col("sz"), col("rn"))
+      .localCheckpoint(eager = true) // feeds both self-join sides
+
+    val probeLen = col("sz") - ceil(col("sz") * t - 1e-9) + 1
+    val indexLen = col("sz") - ceil(col("sz") * (2.0 * t / (1.0 + t)) - 1e-9) + 1
+    val probe = ranked.filter(col("rn") <= probeLen)
+      .select(col("grp"), col("tok"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("rn").as("rn_b"))
+    val index = ranked.filter(col("rn") <= indexLen)
+      .select(col("grp"), col("tok"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+
+    // a = smaller record (index prefix), b = larger (probe prefix); strict
+    // (size, id) order generates each unordered pair exactly once
+    val sizeOrder = (col("sz_a") < col("sz_b")) ||
+      (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))
+    val lengthFilter = col("sz_a").cast("double") >= col("sz_b") * t - 1e-9
+
+    val matched = index.join(probe, Seq("grp", "tok"))
+      .filter(sizeOrder && lengthFilter)
+      .withColumn("ub",
+        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")))
+
+    val alpha = (col("sz_a") + col("sz_b")) * (t / (1.0 + t))
+    val pairs = matched
+      .groupBy(col("grp"), col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(max(col("ub")).as("max_ub"))
+      .filter(col("max_ub").cast("double") + 1e-9 >= alpha)
+      // size-order -> id-order for the output contract (id_a < id_b)
+      .select(col("grp"),
+        when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b")).as("id_a2"),
+        when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b2"))
+      .withColumnRenamed("id_a2", "id_a").withColumnRenamed("id_b2", "id_b")
+
+    CapMetrics.observed(pairs, s"simjoin.$site",
+      count(lit(1)).as("candidates"))
+  }
+}

@@ -88,29 +88,47 @@ object Similarity {
 
   final case class LshConfig(tables: Int = 8, bits: Int = 10, seed: Int = 42)
 
-  /** (id, vec) → exploded (id, vec, tbl, bkt) via the bucket kernel. */
-  private def withBuckets(df: DataFrame, vecCol: String, idCol: String,
+  /** (id, vec) → (id, bkts: array of one bucket per table). */
+  private def bucketArrays(df: DataFrame, vecCol: String, idCol: String,
       cfg: LshConfig): DataFrame = {
     val bucketsUdf = udf((v: Seq[Float]) =>
       (0 until cfg.tables).map(t => bucketKernel(v, cfg.seed, t, cfg.bits)))
-    df.select(col(idCol), col(vecCol),
-        posexplode(bucketsUdf(col(vecCol))).as(Seq("tbl", "bkt")))
+    df.select(col(idCol), bucketsUdf(col(vecCol)).as("bkts"))
   }
+
+  /** First table index where the two bucket arrays collide (tables.length if
+    * none) — a pair colliding in k tables is emitted ONLY at its first
+    * common table, so the multi-table join yields each candidate exactly
+    * once and needs NO distinct afterwards (the r2 plan shuffled up to
+    * `tables` duplicate id-rows per pair into a global distinct — the
+    * dominant cost of the near-dup query at the exhaustive fixture config).
+    * Cost: the bucket array (one long per table) rides the keyed shuffle —
+    * ~8*tables bytes/row vs an id-only row, bounded by the (small) table
+    * count, in exchange for deleting the distinct exchange entirely. */
+  private val firstCollision = udf((a: Seq[Long], b: Seq[Long]) => {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && a(i) != b(i)) i += 1
+    i
+  })
 
   /** ANN top-k: candidates from any shared (table, bucket), exact cosine
     * re-rank. Output schema matches bruteForceTopK. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    // candidate IDs only through the join+distinct; vectors re-join after
-    val cb = withBuckets(corpus, "embedding", "vec_id", cfg)
-      .select(col("vec_id"), col("tbl"), col("bkt"))
+    // candidate IDs only through the join (first-collision dedup — see
+    // firstCollision — makes a distinct unnecessary); vectors re-join after
+    val cb = bucketArrays(corpus, "embedding", "vec_id", cfg)
+      .select(col("vec_id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("tbl", "bkt")))
       .localCheckpoint(eager = true)
-    val qb = withBuckets(queries, "q_embedding", "query_id", cfg)
-      .select(col("query_id"), col("tbl"), col("bkt"))
+    val qb = bucketArrays(queries, "q_embedding", "query_id", cfg)
+      .select(col("query_id"), col("bkts").as("q_bkts"),
+        posexplode(col("bkts")).as(Seq("tbl", "bkt")))
     val candidateIds = cb.join(qb, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("vec_id"))
+      .filter(firstCollision(col("bkts"), col("q_bkts")) === col("tbl"))
       .select(col("query_id"), col("vec_id"))
-      .distinct()
     // re-spread the id-only candidates before the cosine re-rank: AQE
     // coalesces the small distinct output to ~1 partition, serializing the
     // kernel-heavy verify (see Dedup.spreadForVerify)
@@ -132,19 +150,23 @@ object Similarity {
     * blocking — the embedding flavor of Dedup. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    // dedupe candidate IDs first — hauling the embedding arrays through the
-    // distinct shuffle costs ~30x the id-only rows; vectors re-join after
-    val bucketed = withBuckets(corpus, "embedding", "vec_id", cfg)
-      .select(col("vec_id"), col("tbl"), col("bkt"))
+    // candidate IDs only through the join — the embedding arrays never ride
+    // the pair shuffle; first-collision dedup emits each colliding pair
+    // exactly once, so no distinct exchange is needed (see firstCollision)
+    val bucketed = bucketArrays(corpus, "embedding", "vec_id", cfg)
+      .select(col("vec_id"), col("bkts"),
+        posexplode(col("bkts")).as(Seq("tbl", "bkt")))
       .localCheckpoint(eager = true)
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("tbl"), col("bkt"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bkt"))
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("bkts").as("bkts_a"),
+      col("tbl"), col("bkt"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("bkts").as("bkts_b"),
+      col("tbl"), col("bkt"))
     val pairs = a.join(b, Seq("tbl", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(firstCollision(col("bkts_a"), col("bkts_b")) === col("tbl"))
       .select(col("vec_a"), col("vec_b"))
-      .distinct()
       // spread the id-only pairs before the kernel-heavy exact verify
-      // (AQE coalesces the small distinct output; see Dedup.spreadForVerify)
+      // (AQE coalesces the small join output; see Dedup.spreadForVerify)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
         col("vec_a"), col("vec_b"))
     val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))

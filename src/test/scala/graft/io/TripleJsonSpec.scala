@@ -45,6 +45,18 @@ class TripleJsonSpec extends AnyFunSuite {
     assert(TripleJson.malformedCount(spark, path) == 2)
   }
 
+  test("duplicate malformed lines count once each (per-line, not per-distinct-text)") {
+    val f = Files.createTempFile("dupbad", ".json")
+    val badLine =
+      """{"triples":[{"subject":{"type":"P","tuid":"1"},"predicate":{"name":"age"},"object":{"int64":"oops"}}]}"""
+    val goodLine =
+      """{"triples":[{"subject":{"type":"P","tuid":"2"},"predicate":{"name":"age"},"object":{"int64":"7"}}]}"""
+    Files.writeString(f, Seq(badLine, badLine, goodLine, "not json at all",
+      "not json at all").mkString("\n"))
+    // 2 duplicate bad-int64 lines + 2 duplicate unparseable lines = 4
+    assert(TripleJson.malformedCount(spark, f.toString) == 4)
+  }
+
   test("write → read round-trip is lossless") {
     val df = TripleJson.read(spark, writeGolden())
     val lines = TripleJson.toJsonLines(df)

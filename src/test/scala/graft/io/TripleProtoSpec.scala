@@ -73,7 +73,7 @@ class TripleProtoSpec extends AnyFunSuite {
     assert(fromProto.schema == fromJson.schema)
   }
 
-  test("truncated trailing record is dropped, not fatal") {
+  test("truncated trailing record is dropped, not fatal — and counted, not silent") {
     val dir = Files.createTempDirectory("proto-trunc")
     val good = golden.map(TripleProto.encodeSubgraph)
     val path = s"$dir/part-0.pb"
@@ -82,7 +82,33 @@ class TripleProtoSpec extends AnyFunSuite {
     val out = new java.io.FileOutputStream(path, true)
     out.write(Array[Byte](0x60, 0x01)) // claims a 224-byte record, then EOF
     out.close()
-    assert(TripleProto.read(spark, path).count() == 5)
+    // a second, clean file must be unaffected by the first file's corruption
+    TripleProto.writeDelimitedFile(s"$dir/part-1.pb", good.take(1))
+    val (df, (badFiles, badBytes)) = TripleProto.readCounted(spark, s"$dir/part-*.pb")
+    val n = df.count()
+    assert(n == 5 + golden.head.size)
+    assert(badFiles.value == 1L) // one aborted file...
+    assert(badBytes.value == 2L) // ...its 2 trailing bytes discarded
+  }
+
+  test("mid-file corruption keeps prior records, drops the remainder, counts bytes") {
+    val dir = Files.createTempDirectory("proto-mid")
+    val sgs = golden.map(TripleProto.encodeSubgraph)
+    val path = s"$dir/part-0.pb"
+    // record 0 valid, then garbage that parses as an absurd length, then
+    // record 1 — unreachable without sync markers, so it must be dropped
+    assert(sgs.head.length < 128) // single-byte varint below
+    val fos = new java.io.FileOutputStream(path)
+    fos.write(sgs.head.length)
+    fos.write(sgs.head)
+    val garbage = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    fos.write(garbage)
+    fos.write(sgs(1))
+    fos.close()
+    val (df, (badFiles, badBytes)) = TripleProto.readCounted(spark, path)
+    assert(df.count() == golden.head.size)
+    assert(badFiles.value == 1L)
+    assert(badBytes.value == (garbage.length + sgs(1).length).toLong)
   }
 
   test("json reader survives a bad int64 value under ANSI mode") {

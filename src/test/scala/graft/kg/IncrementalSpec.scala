@@ -88,4 +88,35 @@ class IncrementalSpec extends AnyFunSuite {
       .filter($"entity_type" === "Person").count()
     assert(nodes2 == 1)
   }
+
+  test("resolve corpus: bucketed exact-link + exact resolveDisjoint equals the one-shot fuzzy pipeline") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val turns = Transcripts.fromTestdataResolve(spark, dir)
+    val resolveCfg = Link.Config(fuzzy = true, exactSameAs = true,
+      jaccardThreshold = 0.8, fuzzyTypes = Seq("Person"))
+
+    // one-shot fuzzy reference (same exact same-as join, single batch)
+    val ref = Pipeline.run(turns, Pipeline.emptyDict(spark), resolveCfg)
+    val refEdges = edgeSet(ref.edges)
+    val refPersons = ref.nodes.filter($"entity_type" === "Person").count()
+    ref.close()
+
+    // bucketed runs link exactly (fuzzy off): " jr" variants stay split...
+    val out = java.nio.file.Files.createTempDirectory("graft-resolve").toString
+    Incremental.run(turns, Pipeline.emptyDict(spark), out, "r", nBuckets = 3,
+      linkCfg = Link.Config(fuzzy = false), recordCounts = false)
+    val personsBefore = Materialize.readTable(spark, s"$out/nodes").get
+      .filter($"entity_type" === "Person").count()
+    assert(personsBefore > refPersons) // divergence is real pre-resolve
+
+    // ...until the Disjoint-Resolver compaction converges the graph
+    Incremental.resolveDisjoint(spark, out, resolveCfg)
+    val gotEdges = edgeSet(Materialize.readTable(spark, s"$out/edges").get)
+    val personsAfter = Materialize.readTable(spark, s"$out/nodes").get
+      .filter($"entity_type" === "Person").count()
+    assert(gotEdges == refEdges)
+    assert(personsAfter == refPersons)
+  }
 }

@@ -52,6 +52,30 @@ class LinkSpec extends AnyFunSuite {
     assert(pairs == Set(("Person", "alice smit", "alice smith")))
   }
 
+  test("exactSameAs equals the brute-force >= t pair set (recall AND precision 1.0)") {
+    import spark.implicits._
+    // a spread of near/far keys across two fuzzy types + a non-fuzzy type
+    val keys = Seq(
+      ("Person", "alice smith"), ("Person", "alice smit"), ("Person", "alice smith jr"),
+      ("Person", "robert smith"), ("Person", "rupert smith"),
+      ("Person", "wholly unrelated"),
+      ("City", "san francisco"), ("City", "san francisc"), ("City", "los angeles"),
+      ("Order", "1"), ("Order", "2")
+    ).toDF("entity_type", "dict_key")
+    val t = 0.7
+    val got = Link.fuzzySameAs(keys, Link.Config(exactSameAs = true, jaccardThreshold = t,
+        fuzzyTypes = Seq("Person", "City")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val in = keys.collect().map(r => (r.getString(0), r.getString(1)))
+    val expect = (for {
+      (ta, ka) <- in; (tb, kb) <- in
+      if ta == tb && Seq("Person", "City").contains(ta) && ka < kb
+      if Link.jaccard(ka, kb) >= t
+    } yield (ta, ka, kb)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("broadcast dictionary maps variants; unknown keys pass through") {
     import spark.implicits._
     val ments = Seq(("Person", "bob smith"), ("Person", "zed qux"))

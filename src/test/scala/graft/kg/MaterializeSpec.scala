@@ -88,6 +88,24 @@ class MaterializeSpec extends AnyFunSuite {
     assert(!names.exists(_.startsWith("delta-")))
   }
 
+  test("gc retains deltas newer than the oldest kept base (lazy readers survive compaction)") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    // base snapshot, then a delta
+    Materialize.mergeSnapshot(spark, table, Seq(("a", 1L)).toDF("k", "v"), Seq("k"))
+    Materialize.appendDelta(spark, table, Seq(("b", 2L)).toDF("k", "v"),
+      Seq("k"), compactEvery = 0)
+    // lazy reader planned against (base, delta) — NOT executed yet
+    val lazyReader = Materialize.readTable(spark, table).get
+    // a later append triggers compaction; the delta the lazy reader
+    // references must survive gc (it is newer than the oldest retained base)
+    Materialize.appendDelta(spark, table, Seq(("c", 3L)).toDF("k", "v"),
+      Seq("k"), compactEvery = 2)
+    assert(Materialize.currentManifest(table).get.deltas.isEmpty) // compacted
+    val got = lazyReader.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("b", 2L))) // no FileNotFoundException
+  }
+
   test("snapshot GC retains only the newest N bases") {
     import spark.implicits._
     val table = freshDir() + "/t"

@@ -33,11 +33,14 @@ class StagingSpec extends AnyFunSuite {
       assert(Pipeline.stageDir.contains(dir))
       val staged = Pipeline.run(turns, dict)
       val stagedEdges = edgeSet(staged)
+      // the boundary actually materialized to parquet...
+      assert(new java.io.File(dir).list().exists(_.startsWith("raw-")))
       staged.close()
+      // ...and close() reclaims it — loop callers (per-bucket, per-micro-
+      // batch) must not leak O(corpus) staging dirs per iteration
+      assert(!new java.io.File(dir).list().exists(_.startsWith("raw-")))
       assert(stagedEdges == cachedEdges)
       assert(cachedEdges.nonEmpty)
-      // the boundary actually materialized to parquet
-      assert(new java.io.File(dir).list().exists(_.startsWith("raw-")))
     } finally {
       sys.props.remove("graft.stage.dir")
       ()

@@ -138,6 +138,28 @@ object Plans {
       "inside WholeStageCodegen (native expression, no fallback)" ->
         (s => s.contains("WholeStageCodegen") || s.contains("*(")))
 
+    // --- PPJoin similarity join: keyed equi-joins only, positional filter's
+    // pair aggregation replaces the old distinct (no extra exchange) ---
+    audit("q_ngram_pairs", SparkEntry.queries("q_ngram_pairs")(spark, dir),
+      execute = true)(
+      "no cartesian/nested-loop product anywhere (blocked join only)" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "pair aggregation carries the positional-filter max bound" ->
+        (s => s.contains("max(ub") || s.contains("max_ub")),
+      "df-count and prefix join share the token key (SortMergeJoin or hash)" ->
+        (s => s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+          s.contains("BroadcastHashJoin")))
+
+    // --- embedding near-dup: first-collision dedup means NO distinct
+    // aggregate between the bucket join and the verify joins ---
+    audit("q_embed_neardup", SparkEntry.queries("q_embed_neardup")(spark, dir),
+      execute = true)(
+      "no cartesian product (bucket-blocked equi-join)" ->
+        (s => !s.contains("CartesianProduct")),
+      "no pair-distinct aggregate (first-collision dedup in the join filter)" ->
+        (s => !s.split("Initial Plan")(0).contains("HashAggregate")))
+
     println(s"\nTOTAL CHECK FAILURES: $failures")
     spark.stop()
   }

@@ -463,6 +463,7 @@ object SparkEntry {
        |  FROM orders
        |  JOIN customer ON o_custkey = c_custkey
        |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE c_custkey % 8 = 0
        |), canon AS (
        |  SELECT c_custkey,
        |         CASE WHEN bool_or(NOT jr) THEN any_value(name_base)

@@ -99,7 +99,14 @@ object Transcripts {
   def fromTestdataResolve(spark: SparkSession, sfDir: String): Dataset[Turn] = {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // every 8th customer: the resolver demo proves CONVERGENCE (bucketed
+    // runs + compaction == one-shot graph); similarity-join scale is
+    // covered by q_ngram_pairs — and this synthetic 50-word vocabulary is
+    // deliberately adversarial for prefix filtering (uniform df), so the
+    // full-customer corpus would measure the corpus pathology, not the
+    // operator
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter($"c_custkey" % 8 === 0)
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
 
     def word(p: Int): org.apache.spark.sql.Column = {

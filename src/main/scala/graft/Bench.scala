@@ -57,6 +57,14 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // cap/candidate observability summary (stderr; the stdout JSON line is
+    // the driver contract and stays single-line)
+    Seq("dedup.minhash", "dedup.simhash", "link.lsh",
+        "simjoin.ngram", "simjoin.link.exact").foreach { site =>
+      val m = graft.ops.CapMetrics.latest(site)
+      if (m.nonEmpty) System.err.println(s"[bench] metrics $site: " +
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", "))
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

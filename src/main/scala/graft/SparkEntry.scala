@@ -364,6 +364,76 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("user_id"))
     }),
+    // deterministic train/val/test split: pure function of the record key
+    // (FNV-1a fingerprint mod 100), re-derivable by any engine — never
+    // rand(), which changes across runs/retries
+    "q_sample_split" -> ((s, dir) => {
+      graft.ops.Sampling.assignSplit(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("split_cell"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    // near-dup GROUPING: connected components over the exact >= 0.5 pair
+    // set, numeric-min representative (oracle: recursive-CTE closure)
+    "q_doc_groups" -> ((s, dir) => {
+      graft.ops.Dedup.dedupGroups(
+          graft.ops.Dedup.ngramJaccardPairs(
+            s.read.parquet(s"$dir/documents.parquet"), shingleN = 3, minJaccard = 0.5))
+        .orderBy(col("doc_id"))
+    }),
+    // bulk NDJSON ingest + the reference's per-subgraph stats, end-to-end:
+    // triples derived from orders -> protojson render -> text file ->
+    // TripleJson.read -> subgraphStats (ref-bug-faithful AND fixed counts);
+    // int64/string objects only (a float64 would put Spark's double
+    // rendering inside the line, which the oracle cannot re-derive)
+    "q_subgraph_stats" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val base = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        .localCheckpoint(eager = true) // five projection consumers below
+      val sgId = col("o_orderkey").cast("string").as("subgraph_id")
+      def nulls = Seq(lit(null).cast("string").as("obj_type"),
+        lit(null).cast("string").as("obj_tuid"))
+      val t1 = base.select(Seq(sgId, lit("Order").as("subj_type"),
+        col("o_orderkey").cast("string").as("subj_tuid"), lit("priority").as("pred"),
+        lit("string").as("obj_kind")) ++ nulls ++ Seq(
+        col("o_orderpriority").as("obj_string"), lit(null).cast("long").as("obj_int64"),
+        lit(null).cast("double").as("obj_float64")): _*)
+      val t2 = base.select(Seq(sgId, lit("Order").as("subj_type"),
+        col("o_orderkey").cast("string").as("subj_tuid"), lit("items").as("pred"),
+        lit("int64").as("obj_kind")) ++ nulls ++ Seq(
+        lit(null).cast("string").as("obj_string"),
+        (col("o_orderkey") % 5 + 1).cast("long").as("obj_int64"),
+        lit(null).cast("double").as("obj_float64")): _*)
+      val t3 = base.select(sgId, lit("Customer").as("subj_type"),
+        col("c_custkey").cast("string").as("subj_tuid"), lit("located_in").as("pred"),
+        lit("subject").as("obj_kind"), lit("Nation").as("obj_type"),
+        col("c_nationkey").cast("string").as("obj_tuid"),
+        lit(null).cast("string").as("obj_string"), lit(null).cast("long").as("obj_int64"),
+        lit(null).cast("double").as("obj_float64"))
+      val t4 = base.filter(col("o_orderkey") % 2 === 0)
+        .select(Seq(sgId, lit("Order").as("subj_type"),
+          col("o_orderkey").cast("string").as("subj_tuid"), lit("status").as("pred"),
+          lit("string").as("obj_kind")) ++ nulls ++ Seq(
+          col("o_orderstatus").as("obj_string"), lit(null).cast("long").as("obj_int64"),
+          lit(null).cast("double").as("obj_float64")): _*)
+      val t5 = base.filter(col("o_orderkey") % 5 === 0)
+        .select(Seq(sgId, lit("Customer").as("subj_type"),
+          col("c_custkey").cast("string").as("subj_tuid"), lit("segment").as("pred"),
+          lit("string").as("obj_kind")) ++ nulls ++ Seq(
+          col("c_mktsegment").as("obj_string"), lit(null).cast("long").as("obj_int64"),
+          lit(null).cast("double").as("obj_float64")): _*)
+      val triples = t1.unionByName(t2).unionByName(t3).unionByName(t4).unionByName(t5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sgstats").toString
+      graft.io.TripleJson.toJsonLines(triples).select(col("line"))
+        .write.mode("overwrite").text(s"$tmp/lines")
+      graft.io.TripleJson.subgraphStats(graft.io.TripleJson.read(s, s"$tmp/lines"))
+        .groupBy(col("num_of_triples"), col("distinct_subjects_ref"),
+          col("distinct_subjects_fixed"))
+        .agg(count(lit(1)).as("n_subgraphs"))
+        .orderBy(col("num_of_triples"))
+    }),
     // byte_entropy is cast to float32: Spark's kernel sums p*log2(p) in byte
     // order while DuckDB's entropy() aggregate sums in its own order — the
     // doubles agree to ~1 ulp, and float32 rounding absorbs the difference
@@ -419,11 +489,10 @@ object SparkEntry {
       |  FROM shacc
       |)""".stripMargin
 
-  /** word-3-gram shingle sets + exact pairwise jaccard >= t, brute force —
-    * the ground truth both q_minhash_pairs (recall 1.0 on this fixture) and
-    * q_ngram_pairs (recall 1.0 by prefix-filter construction) must equal. */
-  private val jaccardPairsSql: String =
-    """WITH toks AS (
+  /** word-3-gram shingle sets + exact pairwise jaccard, brute force (CTE
+    * list, reused by the pair and grouping oracles). */
+  private val jaccardCtes: String =
+    """toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM documents
       |), shing AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN ts
@@ -434,10 +503,35 @@ object SparkEntry {
       |         len(list_intersect(a.s, b.s)) AS inter,
       |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
       |  FROM shing a, shing b WHERE a.doc_id < b.doc_id
-      |)
-      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
-      |FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |)""".stripMargin
+
+  /** Exact >= 0.5 pair set — the ground truth both q_minhash_pairs (recall
+    * 1.0 on this fixture) and q_ngram_pairs (recall 1.0 by construction)
+    * must equal. */
+  private val jaccardPairsSql: String =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+       |FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q_doc_groups: connected components over the exact pair set via a
+    * recursive-CTE transitive closure; representative = numeric min. */
+  private val docGroupsSql: String =
+    s"""WITH RECURSIVE $jaccardCtes, jp AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+       |), e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp
+       |), reach AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+       |), allr AS (
+       |  SELECT a, b FROM reach UNION SELECT a, a FROM e
+       |)
+       |SELECT a AS doc_id, min(b) AS group_rep FROM allr
+       |GROUP BY a ORDER BY doc_id""".stripMargin
 
   /** Digit-word person-name encoding of the resolve corpus, in DuckDB SQL —
     * mirrors [[graft.kg.Transcripts.fromTestdataResolve]] char-for-char. */
@@ -793,6 +887,36 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 7
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_pairs" -> jaccardPairsSql,
+    "q_doc_groups" -> docGroupsSql,
+    // split_cell = pmod(SIGNED fnv-1a of the decimal id string, 100),
+    // mirrored in HUGEINT arithmetic (signed fold, then pmod)
+    "q_sample_split" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+        |        i -> CAST(ord(CAST(doc_id AS VARCHAR)[i]) AS HUGEINT))),
+        |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |         THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS hs
+        |  FROM f
+        |), cellt AS (
+        |  SELECT doc_id, CAST(((hs % 100) + 100) % 100 AS INT) AS split_cell FROM g
+        |)
+        |SELECT doc_id, split_cell,
+        |  CASE WHEN split_cell < 80 THEN 'train'
+        |       WHEN split_cell < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM cellt ORDER BY doc_id""".stripMargin,
+    "q_subgraph_stats" ->
+      """SELECT CAST(3 + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS num_of_triples,
+        |       CAST(2 AS BIGINT) AS distinct_subjects_ref,
+        |       CAST(3 AS INT) AS distinct_subjects_fixed,
+        |       count(*) AS n_subgraphs
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY num_of_triples""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a, embeddings b

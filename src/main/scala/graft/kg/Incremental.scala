@@ -103,9 +103,14 @@ object Incremental {
       appendCheckpoint(spark, outDir,
         Checkpoint(runId, "pipeline", b, "done", rowsIn, rowsOut,
           t0, System.currentTimeMillis()))
+      // cap observability into the run's _metrics table ("no silent caps"):
+      // fuzzy LSH bucket drops for this bucket's linking pass, if any
+      val lshCaps = graft.ops.CapMetrics.latest("link.lsh").toSeq.map {
+        case (k, v) => (runId, "link.lsh", b, k, v)
+      }
       appendMetrics(spark, outDir, Seq(
         (runId, "pipeline", b, "rows_in", rowsIn),
-        (runId, "pipeline", b, "edges_total_after", rowsOut)))
+        (runId, "pipeline", b, "edges_total_after", rowsOut)) ++ lshCaps)
       processed += 1
     }
     // end-of-run compaction: fold trailing deltas into a fresh base so

@@ -35,6 +35,13 @@ import graft.model.Model._
   * The visible state is one `_CURRENT` pointer file naming the base and the
   * live deltas (`snap-N;delta-a;delta-b`), flipped atomically (tmp +
   * ATOMIC_MOVE) — a crashed writer never corrupts the visible table.
+  *
+  * SINGLE WRITER assumed: snapshot/delta ids are list-and-increment with no
+  * lock, so two jobs appending to one table concurrently can mint the same
+  * id and clobber each other. That is a property of this offline emulation
+  * only — the production path is Iceberg `MERGE INTO`, whose optimistic
+  * commit protocol serializes concurrent writers (keep the same call
+  * boundaries when swapping the backend in).
   */
 object Materialize {
 

@@ -244,10 +244,13 @@ object Dedup {
   }
 
   /** Cluster near-dup pairs into groups (connected components) and pick one
-    * representative per group — composes with graft.kg.Canonicalize. */
+    * representative per group — composes with graft.kg.Canonicalize. Keys
+    * are zero-padded before CC so the lexicographic-min component IS the
+    * numeric-min doc_id (the representative a user expects). */
   def dedupGroups(pairs: DataFrame): DataFrame = {
+    def pad(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
     val edges = pairs.select(lit("doc").as("entity_type"),
-      col("doc_a").cast("string").as("key_a"), col("doc_b").cast("string").as("key_b"))
+      pad(col("doc_a")).as("key_a"), pad(col("doc_b")).as("key_b"))
     graft.kg.Canonicalize.connectedComponents(edges)
       .select(col("key").cast("long").as("doc_id"),
         col("component").cast("long").as("group_rep"))

@@ -186,6 +186,51 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
+
+  test("dedupGroups representative is the NUMERIC min (multi-digit ids)") {
+    import spark.implicits._
+    // lexicographic string-min would pick 10 over 2 — the zero-pad must not
+    val pairs = Seq((2L, 10L), (10L, 100L)).toDF("doc_a", "doc_b")
+    val groups = Dedup.dedupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(2L -> 2L, 10L -> 2L, 100L -> 2L))
+  }
+}
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("assignSplit is a deterministic pure function of the key with sane proportions") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("doc_id")
+    val a = Sampling.assignSplit(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("split_cell"), r.getAs[String]("split")))
+      .toMap
+    val b = Sampling.assignSplit(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("split_cell"), r.getAs[String]("split")))
+      .toMap
+    assert(a == b) // rerun-stable
+    // matches the kernel exactly (engine-independent assignment)
+    a.foreach { case (id, (cell, split)) =>
+      val h = graft.functions.TextHashKernels.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+      val expect = ((h % 100) + 100) % 100
+      assert(cell.toLong == expect)
+      assert(split == (if (cell < 80) "train" else if (cell < 90) "val" else "test"))
+    }
+    val bydist = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bydist("train") > 1400 && bydist("train") < 1800)
+    assert(bydist("val") > 100 && bydist("test") > 100)
+  }
+
+  test("incremental append keeps prior assignments (stability under growth)") {
+    import spark.implicits._
+    val first = Sampling.assignSplit((0L until 500L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val grown = Sampling.assignSplit((0L until 1000L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    first.foreach { case (id, s) => assert(grown(id) == s) }
+  }
 }
 
 class SimJoinSpec extends AnyFunSuite {

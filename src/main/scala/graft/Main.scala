@@ -80,6 +80,10 @@ object Main {
       die(s"unknown --format $format")
     stageDir.foreach(d => sys.props("graft.stage.dir") = d)
 
+    // embedded use (tests, notebooks): getOrCreate joins a live session —
+    // which we then must not stop on the way out
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val builder = SparkSession.builder().appName("megamindspark")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
@@ -126,6 +130,6 @@ object Main {
     val edges = Materialize.readTable(spark, s"$out/edges").map(_.count()).getOrElse(0L)
     val nodes = Materialize.readTable(spark, s"$out/nodes").map(_.count()).getOrElse(0L)
     println(s"[graft] table $out: $edges edges, $nodes nodes")
-    spark.stop()
+    if (!hadSession) spark.stop()
   }
 }

@@ -151,6 +151,36 @@ object SparkEntry {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .orderBy(col("entity_type"), col("guid"))
     }),
+    // fixed-iteration PageRank over the customer/supplier -> nation ->
+    // region entity graph (the graph-analytics operator; composes with the
+    // KG's (subj_guid, obj_guid) edges the same way)
+    "q_pagerank" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(concat(lit("C"), col("c_custkey")).as("src"),
+          concat(lit("N"), col("c_nationkey")).as("dst"))
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+        .select(concat(lit("S"), col("s_suppkey")).as("src"),
+          concat(lit("N"), col("s_nationkey")).as("dst"))
+      val nr = s.read.parquet(s"$dir/nation.parquet")
+        .select(concat(lit("N"), col("n_nationkey")).as("src"),
+          concat(lit("R"), col("n_regionkey")).as("dst"))
+      graft.kg.Graph.pageRank(c.unionByName(su).unionByName(nr), iters = 10)
+        // f32 absorbs the engines' float-sum ordering difference (~1e-15
+        // relative vs f32's 6e-8 ulp) — same device as q_media_features
+        .select(col("node"), col("rank").cast("float").as("rank"))
+        .orderBy(col("node"))
+    }),
+    // skew-safe two-phase aggregation (S9): (key, salt) partials then final
+    // combine — must equal the plain GROUP BY the oracle runs
+    "q_salted_agg" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      graft.kg.Skew.saltedAgg(e, Seq(col("user_id")), Seq(col("event_id")), 16)(
+        partial = Seq((count(lit(1)), "n"),
+          (sum(col("value").cast("decimal(18,2)")), "sv")),
+        combine = Seq((sum(col("n")).cast("long"), "n_events"),
+          (sum(col("sv")).cast("double"), "sum_value")))
+        .orderBy(col("user_id"))
+    }),
     // 2-hop traversal: persons co-resident via Person->lives_in->Nation
     "kg_two_hop" -> ((s, dir) => {
       val e = kg(s, dir).edges.filter(col("pred") === "lives_in")
@@ -620,8 +650,43 @@ object SparkEntry {
       |  FROM tr
       |)""".stripMargin
 
+  /** q_pagerank oracle: the power iteration unrolled into one chained-CTE
+    * query (fixed iterations, no dangling redistribution — mirrors
+    * [[graft.kg.Graph.pageRank]] op-for-op in IEEE double arithmetic; the
+    * final f32 cast absorbs summation-order differences). */
+  private lazy val pagerankSql: String = {
+    val iters = 10
+    val head =
+      """WITH eg AS (
+        |  SELECT DISTINCT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+        |  UNION SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+        |  UNION SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        |), nd AS (
+        |  SELECT src AS node FROM eg UNION SELECT dst FROM eg
+        |), par AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+        |od AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
+        |pr0 AS (SELECT node, 1.0/(SELECT n FROM par) AS rank FROM nd)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""pr${i + 1} AS (
+         |  SELECT nd.node,
+         |         (1 - 0.85)/(SELECT n FROM par) + 0.85 * coalesce(s.c, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT eg.dst AS node, sum(p.rank / od.deg) AS c
+         |    FROM eg JOIN pr$i p ON eg.src = p.node JOIN od ON eg.src = od.src
+         |    GROUP BY eg.dst) s ON nd.node = s.node
+         |)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(rank AS REAL) AS rank FROM pr$iters ORDER BY node"
+  }
+
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "kg_resolve" -> kgResolveSql,
+    "q_pagerank" -> pagerankSql,
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "kg_edges" ->
       s"""$kgBaseCte, $kgTrCte
          |SELECT * FROM e

@@ -346,6 +346,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // IVF ANN at nProbe = nLists: probing every list makes the search
+    // exhaustive, so the exact re-rank reproduces brute force and q_knn's
+    // oracle pins it down (the k-means quantizer itself is exercised — list
+    // assignment + probe ordering — while partial-probe recall is the
+    // SimilaritySpec sbt gate, the same split as q_knn_lsh)
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Similarity.ivfTopK(emb, queries, 10,
+          graft.ops.Similarity.IvfConfig(nLists = 16, kmeansIters = 3, nProbe = 16))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // same near-exhaustive fixture blocking (see q_knn_lsh): candidates
     // cover every >= 0.30 pair, exact-cosine verify makes the output the
     // EXACT pair set, recomputable by DuckDB list_cosine_similarity
@@ -482,6 +496,7 @@ object SparkEntry {
     ("kg_incremental" -> oracleSqlBase("kg_edges")) +
     ("kg_streaming" -> oracleSqlBase("kg_edges")) +
     ("q_knn_lsh" -> oracleSqlBase("q_knn")) + // fixture blocking is exhaustive
+    ("q_knn_ivf" -> oracleSqlBase("q_knn")) + // nProbe = nLists => exhaustive
     ("q_ngram_pairs" -> oracleSqlBase("q_minhash_pairs")) // both = exact >= 0.5 set
 
   /** FNV-1a 64 over ASCII chars in DuckDB HUGEINT arithmetic — mirrors

@@ -146,6 +146,110 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  // ---- IVF (inverted-file) ANN ----------------------------------------------
+
+  final case class IvfConfig(nLists: Int = 64, kmeansIters: Int = 5, nProbe: Int = 8)
+
+  /** Deterministic Lloyd k-means coarse quantizer: centroids initialized
+    * from the `nLists` smallest ids (pure function of the corpus — no RNG),
+    * `iters` assignment/update rounds. Centroids are nLists x dim floats —
+    * the ONE thing small enough to legitimately live on the driver (mllib's
+    * KMeans does the same); assignments stay distributed. Empty clusters
+    * keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, cfg: IvfConfig): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(cfg.nLists)
+      .as[(Long, Seq[Float])].collect().map(_._2.map(_.toDouble).toArray)
+    for (_ <- 1 to cfg.kmeansIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+      // per-dimension means via posexplode: one keyed shuffle of
+      // (cluster, dim) cells — nLists x dim groups, map-side combined
+      val sums = corpus.select(assignUdf(col("embedding")).as("cl"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cl"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (cl, rows) =>
+        val c = new Array[Double](centroids(cl).length)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        next(cl) = c
+      }
+      centroids = next
+      bc.destroy()
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (ties to the lower index). */
+  private[ops] def nearestCentroid(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.MinValue
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var d = 0
+      val n = math.min(v.length, c.length)
+      while (d < n) {
+        dot += v(d).toDouble * c(d); nc += c(d) * c(d)
+        nv += v(d).toDouble * v(d); d += 1
+      }
+      val cos = if (nc == 0 || nv == 0) -2.0 else dot / math.sqrt(nc * nv)
+      if (cos > bestCos) { bestCos = cos; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private[ops] def nearestCentroids(v: Seq[Float], cs: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    val scored = cs.indices.map { i =>
+      val c = cs(i)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var d = 0
+      val n = math.min(v.length, c.length)
+      while (d < n) {
+        dot += v(d).toDouble * c(d); nc += c(d) * c(d)
+        nv += v(d).toDouble * v(d); d += 1
+      }
+      (i, if (nc == 0 || nv == 0) -2.0 else dot / math.sqrt(nc * nv))
+    }
+    scored.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
+  }
+
+  /** IVF ANN top-k: corpus vectors live in ONE coarse-quantizer list each;
+    * every query probes its `nProbe` nearest lists; exact cosine re-rank
+    * inside the probed lists. `nProbe = nLists` makes the search exhaustive
+    * (== brute force, which is how the driver oracle pins it down); partial
+    * probes trade recall for a 1/nProbe-ish scan fraction — the scale path
+    * when the corpus no longer fits a full scan per query. Output schema
+    * matches [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, cfg)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    val probesUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, cfg.nProbe))
+    val listed = corpus.select(col("vec_id"), col("embedding"),
+      listUdf(col("embedding")).as("lst"))
+    val probed = queries.select(col("query_id"), col("q_embedding"),
+      explode(probesUdf(col("q_embedding"))).as("lst"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    listed.join(broadcast(probed), Seq("lst"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via LSH
     * blocking — the embedding flavor of Dedup. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-sessionization with CUSTOM KEYED STATE
+  * (`flatMapGroupsWithState`) — the stateful-streaming analog of
+  * [[graft.ops.Sessionize]]: one `SessionState` per user survives across
+  * micro-batches; a session row is emitted the moment a larger-than-gap
+  * gap CLOSES it (by a later event, or by the event-time timeout when the
+  * watermark passes the open session's deadline).
+  *
+  * Semantics notes (standard for this pattern):
+  *  - events inside one invocation are sorted by (ts, event_id) before
+  *    folding — Spark does not order the per-group iterator;
+  *  - the watermark bounds how late an event may arrive; a late event
+  *    within the watermark lands in the same group invocation and is
+  *    sorted into place, one beyond it is dropped by the engine;
+  *  - state is O(1) per user (no event buffering): the fold carries only
+  *    (session_idx, start, last, count) — a hot user costs constant
+  *    memory, which is what lets this run over 10^9 users.
+  */
+object SessionizeStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionState(session_idx: Int, start_ms: Long,
+      last_ms: Long, n_events: Long)
+
+  final case class Session(user_id: Long, session_idx: Int, n_events: Long,
+      start_ts: Timestamp, end_ts: Timestamp)
+
+  private def toSession(uid: Long, st: SessionState): Session =
+    Session(uid, st.session_idx, st.n_events,
+      new Timestamp(st.start_ms), new Timestamp(st.last_ms))
+
+  /** The per-group fold — pure, shared by the stream and by tests. */
+  def updateGroup(gapMs: Long)(uid: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      // watermark passed the open session's deadline: close and emit it
+      val out = state.getOption.map(toSession(uid, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = Vector.newBuilder[Session]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val ms = e.ts.getTime
+      cur match {
+        case Some(s) if ms - s.last_ms <= gapMs =>
+          cur = Some(s.copy(last_ms = math.max(s.last_ms, ms),
+            n_events = s.n_events + 1))
+        case Some(s) => // gap exceeded: close the old session, open the next
+          closed += toSession(uid, s)
+          cur = Some(SessionState(s.session_idx + 1, ms, ms, 1L))
+        case None =>
+          cur = Some(SessionState(1, ms, ms, 1L))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      // close via timeout once the WATERMARK (not wall clock) passes the
+      // open session's gap deadline
+      state.setTimeoutTimestamp(s.last_ms + gapMs)
+    }
+    closed.result().iterator
+  }
+
+  /** File-source stream over `inputDir` (parquet event rows) → appended
+    * closed-session rows. `watermarkDelay` e.g. "10 minutes". */
+  def sessions(spark: SparkSession, inputDir: String, gapMs: Long,
+      watermarkDelay: String = "10 minutes",
+      maxFilesPerTrigger: Option[Int] = None): Dataset[Session] = {
+    import spark.implicits._
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateGroup(gapMs))
+  }
+}

@@ -343,6 +343,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("IVF: exhaustive probe equals brute force; partial probe keeps high recall") {
+    val k = 5
+    val bf = Similarity.bruteForceTopK(corpus, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+      .toSet
+    // nProbe == nLists: identical to brute force, ranks included
+    val exhaustive = Similarity.ivfTopK(corpus, queries, k,
+      Similarity.IvfConfig(nLists = 6, kmeansIters = 3, nProbe = 6)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+      .toSet
+    assert(exhaustive == bf)
+    // partial probe: the quantizer should route each query to its own
+    // cluster's lists — high recall at a third of the scan
+    val partial = Similarity.ivfTopK(corpus, queries, k,
+      Similarity.IvfConfig(nLists = 6, kmeansIters = 3, nProbe = 2)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bfPairs = bf.map(t => (t._1, t._2))
+    val recall = bfPairs.intersect(partial).size.toDouble / bfPairs.size
+    info(f"IVF partial-probe recall: $recall%.3f")
+    assert(recall >= 0.8)
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Similarity.cosineNearDupPairs(corpus, 0.95,
       Similarity.LshConfig(tables = 8, bits = 4)).collect()

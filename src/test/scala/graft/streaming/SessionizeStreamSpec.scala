@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Custom keyed state (flatMapGroupsWithState): the streaming sessionizer
+  * must agree with the batch operator on every CLOSED session, with state
+  * carried across micro-batches. */
+class SessionizeStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val GAP = 30L * 60 * 1000 // 30 min
+
+  private def ev(id: Long, uid: Long, minute: Long): SessionizeStream.Event =
+    SessionizeStream.Event(id, new Timestamp(1700000000000L + minute * 60000L),
+      uid, "click", 1.0, "")
+
+  test("closed sessions match the batch sessionizer across micro-batches") {
+    import spark.implicits._
+    // user 1: two sessions in file one (gap at minute 120), continuation of
+    // the second session + a third session in file two.
+    // user 2: one long session spanning BOTH files (state must carry over).
+    val file1 = Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), // u1 session 1
+      ev(4, 1, 120), ev(5, 1, 130),            // u1 session 2 begins
+      ev(6, 2, 100), ev(7, 2, 125))            // u2 session 1 begins
+    val file2 = Seq(
+      ev(8, 1, 140),                            // u1 session 2 continues
+      ev(9, 1, 400), ev(10, 1, 410),            // u1 session 3 (gap closes s2)
+      ev(11, 2, 150), ev(12, 2, 415))           // u2: 150 continues, 415 opens s2
+
+    val in = Files.createTempDirectory("graft-sess-in").toString
+    file1.toDS().repartition(1).write.parquet(s"$in/f1")
+    file2.toDS().repartition(1).write.parquet(s"$in/f2")
+
+    val out = SessionizeStream.sessions(spark, s"$in/*", GAP,
+        watermarkDelay = "0 seconds", maxFilesPerTrigger = Some(1))
+      .writeStream
+      .format("memory")
+      .queryName("sess_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    out.awaitTermination(120000)
+
+    val emitted = spark.table("sess_stream").as[SessionizeStream.Session]
+      .collect().map(s => (s.user_id, s.session_idx) -> s).toMap
+
+    // batch ground truth over the union of both files
+    val batch = graft.ops.Sessionize.sessions(
+        (file1 ++ file2).toDS().toDF(), GAP)
+      .collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Int]("session_idx")) ->
+          (r.getAs[Long]("n_events"),
+            r.getAs[Timestamp]("start_ts"), r.getAs[Timestamp]("end_ts"))
+      }.toMap
+
+    // every emitted session must equal its batch counterpart exactly
+    emitted.foreach { case (k, s) =>
+      val (n, st, en) = batch(k)
+      assert((s.n_events, s.start_ts, s.end_ts) == ((n, st, en)), s"$k: $s vs ${batch(k)}")
+    }
+    // gap-closed sessions are always emitted; at most each user's final
+    // (still-open) session may be withheld until its event-time timeout
+    val lastPerUser = batch.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val mustEmit = batch.keys.filterNot { case (u, i) => lastPerUser(u) == i }.toSet
+    assert(mustEmit.subsetOf(emitted.keySet),
+      s"missing closed sessions: ${mustEmit -- emitted.keySet}")
+    assert(mustEmit.nonEmpty)
+  }
+
+  test("updateGroup fold is order-insensitive within an invocation") {
+    val events = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 120), ev(4, 7, 125))
+    // a GroupState stub: enough for the pure fold
+    final class Stub extends org.apache.spark.sql.streaming.GroupState[SessionizeStream.SessionState] {
+      var v: Option[SessionizeStream.SessionState] = None
+      override def exists: Boolean = v.isDefined
+      override def get: SessionizeStream.SessionState = v.get
+      override def getOption: Option[SessionizeStream.SessionState] = v
+      override def update(s: SessionizeStream.SessionState): Unit = v = Some(s)
+      override def remove(): Unit = v = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    def run(order: Seq[SessionizeStream.Event]) = {
+      val st = new Stub
+      val closed = SessionizeStream.updateGroup(GAP)(7L, order.iterator, st).toList
+      (closed, st.v)
+    }
+    val (c1, s1) = run(events)
+    val (c2, s2) = run(events.reverse)
+    assert(c1 == c2 && s1 == s2)
+    assert(c1.map(_.n_events) == List(2L)) // first session closed with 2 events
+    assert(s1.exists(_.n_events == 2L))    // second session open with 2 events
+  }
+}

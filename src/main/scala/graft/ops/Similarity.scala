@@ -277,23 +277,46 @@ object Similarity {
     * blocking — the embedding flavor of Dedup. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    // candidate IDs only through the join — the embedding arrays never ride
-    // the pair shuffle; first-collision dedup emits each colliding pair
-    // exactly once, so no distinct exchange is needed (see firstCollision)
-    val bucketed = bucketArrays(corpus, "embedding", "vec_id", cfg)
-      .select(col("vec_id"), col("bkts"),
-        posexplode(col("bkts")).as(Seq("tbl", "bkt")))
-      .localCheckpoint(eager = true)
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("bkts").as("bkts_a"),
-      col("tbl"), col("bkt"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("bkts").as("bkts_b"),
-      col("tbl"), col("bkt"))
-    val pairs = a.join(b, Seq("tbl", "bkt"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(firstCollision(col("bkts_a"), col("bkts_b")) === col("tbl"))
-      .select(col("vec_a"), col("vec_b"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // candidate IDs via a PER-BUCKET pair kernel: one (table, bucket)-keyed
+    // shuffle of (id, signature) rows, then pairs are generated inside
+    // flatMapGroups with the first-collision check INLINE — a pair that
+    // already collided in an earlier table is skipped before it ever
+    // becomes a row. (The join+filter formulation materialized every
+    // per-table duplicate — ~8x the surviving pairs, each carrying two
+    // signature arrays — and cost 30+ s at the exhaustive fixture config;
+    // the kernel's array compare stops at the first mismatch, ~2 elements
+    // average.) Embedding arrays never ride the pair shuffle; quadratic
+    // work stays bounded per bucket by the bits/tables choice.
+    val pairs = bucketArrays(corpus, "embedding", "vec_id", cfg)
+      .select(posexplode(col("bkts")).as(Seq("tbl", "bkt")), col("vec_id"), col("bkts"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Seq[Long])]) =>
+        val tbl = key._1
+        val m = it.toArray
+        val out = Vector.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) {
+            val (_, _, idA, bkA) = m(i)
+            val (_, _, idB, bkB) = m(j)
+            // first common table must be THIS one
+            var t = 0
+            while (t < tbl && bkA(t) != bkB(t)) t += 1
+            if (t == tbl && idA != idB)
+              out += (if (idA < idB) (idA, idB) else (idB, idA))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("vec_a", "vec_b")
       // spread the id-only pairs before the kernel-heavy exact verify
-      // (AQE coalesces the small join output; see Dedup.spreadForVerify)
+      // (AQE coalesces the small output; see Dedup.spreadForVerify)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
         col("vec_a"), col("vec_b"))
     val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))

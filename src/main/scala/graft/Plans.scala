@@ -157,7 +157,7 @@ object Plans {
       execute = true)(
       "no cartesian product (bucket-blocked equi-join)" ->
         (s => !s.contains("CartesianProduct")),
-      "no pair-distinct aggregate (first-collision dedup in the join filter)" ->
+      "no pair-distinct aggregate (first-collision dedup inside the bucket kernel)" ->
         (s => !s.split("Initial Plan")(0).contains("HashAggregate")))
 
     println(s"\nTOTAL CHECK FAILURES: $failures")

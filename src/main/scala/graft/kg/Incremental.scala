@@ -84,6 +84,7 @@ object Incremental {
       val t0 = System.currentTimeMillis()
       val slice = input.filter(pmod(hash(col("conv_id")), lit(nBuckets)) === b)
       val rowsIn = if (recordCounts) slice.count() else -1L
+      val lshSeqBefore = graft.ops.CapMetrics.seqOf("link.lsh")
       val r = Pipeline.run(slice, dict, linkCfg)
       // per-bucket DELTA append: O(bucket) bytes written per bucket instead
       // of a full-table rewrite (the old rewrite-per-bucket was O(B^2) write
@@ -104,10 +105,15 @@ object Incremental {
         Checkpoint(runId, "pipeline", b, "done", rowsIn, rowsOut,
           t0, System.currentTimeMillis()))
       // cap observability into the run's _metrics table ("no silent caps"):
-      // fuzzy LSH bucket drops for this bucket's linking pass, if any
-      val lshCaps = graft.ops.CapMetrics.latest("link.lsh").toSeq.map {
-        case (k, v) => (runId, "link.lsh", b, k, v)
-      }
+      // fuzzy LSH bucket drops for THIS bucket's linking pass — recorded
+      // only if the site fired during this bucket (seq advanced), never
+      // another query's stale values
+      val lshCaps =
+        if (graft.ops.CapMetrics.seqOf("link.lsh") > lshSeqBefore)
+          graft.ops.CapMetrics.latest("link.lsh").toSeq.map {
+            case (k, v) => (runId, "link.lsh", b, k, v)
+          }
+        else Seq.empty
       appendMetrics(spark, outDir, Seq(
         (runId, "pipeline", b, "rows_in", rowsIn),
         (runId, "pipeline", b, "edges_total_after", rowsOut)) ++ lshCaps)

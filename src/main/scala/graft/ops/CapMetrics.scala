@@ -90,6 +90,14 @@ object CapMetrics {
   def latest(site: String): Map[String, Long] =
     Option(bySite.get(site)).map(_._2).getOrElse(Map.empty)
 
+  /** Monotonic write sequence of a site's last harvest (0 = never) — lets a
+    * caller attribute metrics to ITS OWN execution window: snapshot before,
+    * read after, record only if the sequence advanced (a site that did not
+    * fire during the window would otherwise yield another query's stale
+    * values). */
+  def seqOf(site: String): Long =
+    Option(bySite.get(site)).map(_._1).getOrElse(0L)
+
   /** Poll until `site` has metrics satisfying `p` or `timeoutMs` elapses. */
   def await(site: String, timeoutMs: Long = 10000L)(
       p: Map[String, Long] => Boolean): Boolean = {

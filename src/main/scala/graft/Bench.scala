@@ -32,7 +32,12 @@ object Bench {
 
     // a crashing query must be visible in the JSON (negative time + errors
     // list), not recorded as a normal-looking elapsed time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 — iterate on a subset without the full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true } catch {
@@ -45,9 +50,12 @@ object Bench {
       val (t1, ok1) = once()
       // single-rep times on this host carry documented hypervisor CPU-steal
       // variance (BENCH/BASELINE.md: identical stage 53 s vs 187 s) — rerun
-      // heavy queries and take the MIN so BENCH_rN reproduces within ~2x
+      // heavy queries and take the MIN so BENCH_rN reproduces within ~2x.
+      // kgCache-memoized queries are EXCLUDED from the rerun: their reruns
+      // hit the cache, so the MIN would collapse to cached-projection time
+      // and the shared pipeline cost would vanish from the total.
       val secs =
-        if (ok1 && t1 > 10.0)
+        if (ok1 && t1 > 10.0 && !SparkEntry.memoizedQueries.contains(name))
           (t1 +: Seq.fill(2)(once()).collect { case (t, true) => t }).min
         else t1
       (name, if (ok1) secs else -secs, ok1)

@@ -39,6 +39,24 @@ object SparkEntry {
   private val kgCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), Kg]
 
+  /** Query names that are projections of the memoized `kg` pipeline run.
+    * Bench must NOT rerun-and-take-MIN these: the first run pays the shared
+    * pipeline build, reruns hit the cache, and the MIN would silently drop
+    * the pipeline cost from the reported total. */
+  val memoizedQueries: Set[String] = Set(
+    "kg_edges", "kg_nodes", "kg_registry", "kg_mentions",
+    "kg_degrees", "kg_two_hop")
+
+  /** Evict the memoized pipeline results (and free their checkpoints) —
+    * for long-lived embedders; the driver-contract mains never need it. */
+  def clearKgCache(): Unit = kgCache.synchronized {
+    kgCache.values.foreach { k =>
+      Seq(k.edges, k.nodes, k.registry, k.personMentions)
+        .foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    }
+    kgCache.clear()
+  }
+
   private def kg(spark: SparkSession, dir: String): Kg =
     kgCache.synchronized {
       kgCache.getOrElseUpdate((spark, dir), {

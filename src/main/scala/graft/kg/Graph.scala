@@ -7,20 +7,28 @@ import org.apache.spark.sql.functions._
   * surface (composes with the constructed KG's (subj_guid, obj_guid) edges,
   * or any (src, dst) frame).
   *
-  * [[Graph.pageRank]] is the fixed-iteration power method:
-  * `rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u) / outdeg(u)`,
-  * WITHOUT dangling-mass redistribution (a sink's rank mass leaks; fixed
-  * iterations keep the result a pure deterministic function of the edge
-  * list, which is what makes it oracle-able). Each iteration is one keyed
-  * join + one aggregation; lineage is truncated per iteration
-  * (localCheckpoint) so 10 iterations do not build a 10-deep plan. No data
-  * ever collects to the driver.
+  * [[Graph.pageRank]] is the power method:
+  * `rank_{t+1}(v) = (1-d)/N + d * (sum_{u->v} rank_t(u) / outdeg(u) [+ S_t/N])`
+  * where `S_t` is the dangling (sink) rank mass, redistributed uniformly
+  * when `danglingRedistribution = true` — textbook PageRank, total mass
+  * conserved at 1. The DEFAULT leaves it off: a sink's mass leaks, but the
+  * result stays a pure deterministic function of the edge list alone, which
+  * is what makes the driver oracle (`q_pagerank`, an unrolled recursive
+  * CTE) recomputable in DuckDB — a user who wants textbook ranks passes
+  * `danglingRedistribution = true` and mirrors the `S_t/N` term in any
+  * external check. `tol > 0` adds an L1-convergence early exit (one extra
+  * aggregate per iteration); the default 0 keeps the fixed-iteration count
+  * exact for the oracle. Each iteration is one keyed join + one
+  * aggregation; lineage is truncated per iteration (localCheckpoint) so 10
+  * iterations do not build a 10-deep plan. Per-iteration driver traffic is
+  * O(1) scalars (dangling mass, L1 delta) — node/edge data never collects.
   */
 object Graph {
 
   /** Distinct-edge PageRank. `edges` needs (src, dst) columns; multi-edges
     * collapse. Returns (node, rank). */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+      danglingRedistribution: Boolean = false, tol: Double = 0.0): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("node"))
@@ -32,18 +40,37 @@ object Graph {
       .localCheckpoint(eager = true)
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(eager = true)
-    for (_ <- 1 to iters) {
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
+      // dangling mass: rank held by nodes with no out-edges this iteration
+      // (one scalar agg — the left anti join is a broadcast of outdeg keys)
+      val dangling =
+        if (!danglingRedistribution) 0.0
+        else {
+          val row = ranks.join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+            .agg(sum(col("rank"))).head()
+          if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        }
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0)))
+          (lit((1.0 - damping) / n + damping * dangling / n) +
+            lit(damping) * coalesce(col("c"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(eager = true)
+      if (tol > 0.0) {
+        val row = next.as("nx").join(ranks.as("pv"), col("nx.node") === col("pv.node"))
+          .agg(sum(abs(col("nx.rank") - col("pv.rank")))).head()
+        val delta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        converged = delta < tol
+      }
       ranks.unpersist()
       ranks = next
+      iter += 1
     }
     ranks
   }

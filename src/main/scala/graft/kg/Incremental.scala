@@ -2,7 +2,7 @@ package graft.kg
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Model._
@@ -27,19 +27,64 @@ import graft.model.Model._
   */
 object Incremental {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class Checkpoint(run_id: String, stage: String, partition_key: Int,
       status: String, rows_in: Long, rows_out: Long, started_ms: Long, finished_ms: Long)
 
   private def cpPath(outDir: String) = s"$outDir/_checkpoints"
   private def metricsPath(outDir: String) = s"$outDir/_metrics"
 
+  // Checkpoint/metrics rows are appended from the DRIVER as one small JSON
+  // file per append (tmp + ATOMIC_MOVE — a crash never leaves a partial
+  // line visible): durability per bucket without paying a Spark job for a
+  // 1-row parquet write. Measured: the four 1-row writes per bucket were
+  // ~2-4 s of pure scheduling overhead per 2-bucket run — the dominant
+  // fixed cost of kg_incremental after the r3 optimizations.
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def appendJsonFile(dir: String, json: String): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val name = s"r-${System.currentTimeMillis()}-${appendSeq.incrementAndGet()}"
+    val tmp = d.resolve(s".$name.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, d.resolve(s"$name.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val cpSchema = org.apache.spark.sql.Encoders.product[Checkpoint].schema
+  private val metricsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("run_id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("stage", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("partition_key", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType)))
+
   def readCheckpoints(spark: SparkSession, outDir: String): DataFrame = {
     if (Files.exists(Paths.get(cpPath(outDir))))
-      spark.read.parquet(cpPath(outDir))
+      spark.read.schema(cpSchema).option("mode", "DROPMALFORMED").json(cpPath(outDir))
     else {
       import spark.implicits._
       Seq.empty[Checkpoint].toDF()
     }
+  }
+
+  /** The per-bucket/per-resolve metrics table
+    * `(run_id, stage, partition_key, metric, value)`. */
+  def readMetrics(spark: SparkSession, outDir: String): DataFrame = {
+    if (Files.exists(Paths.get(metricsPath(outDir))))
+      spark.read.schema(metricsSchema).option("mode", "DROPMALFORMED")
+        .json(metricsPath(outDir))
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), metricsSchema)
   }
 
   def completedBuckets(spark: SparkSession, outDir: String, runId: String): Set[Int] =
@@ -48,17 +93,20 @@ object Incremental {
         col("stage") === "pipeline")
       .select("partition_key").collect().map(_.getInt(0)).toSet
 
-  private def appendCheckpoint(spark: SparkSession, outDir: String, cp: Checkpoint): Unit = {
-    import spark.implicits._
-    Seq(cp).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(cpPath(outDir))
-  }
+  private def appendCheckpoint(spark: SparkSession, outDir: String, cp: Checkpoint): Unit =
+    appendJsonFile(cpPath(outDir),
+      s"""{"run_id":"${jsonEscape(cp.run_id)}","stage":"${jsonEscape(cp.stage)}",""" +
+      s""""partition_key":${cp.partition_key},"status":"${jsonEscape(cp.status)}",""" +
+      s""""rows_in":${cp.rows_in},"rows_out":${cp.rows_out},""" +
+      s""""started_ms":${cp.started_ms},"finished_ms":${cp.finished_ms}}""" + "\n")
 
   private def appendMetrics(spark: SparkSession, outDir: String,
-      rows: Seq[(String, String, Int, String, Long)]): Unit = {
-    import spark.implicits._
-    rows.toDF("run_id", "stage", "partition_key", "metric", "value")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(metricsPath(outDir))
-  }
+      rows: Seq[(String, String, Int, String, Long)]): Unit =
+    if (rows.nonEmpty) appendJsonFile(metricsPath(outDir),
+      rows.map { case (r, s, p, m, v) =>
+        s"""{"run_id":"${jsonEscape(r)}","stage":"${jsonEscape(s)}",""" +
+        s""""partition_key":$p,"metric":"${jsonEscape(m)}","value":$v}"""
+      }.mkString("", "\n", "\n"))
 
   /** Run (or resume) `runId` over the transcript table. Returns the number
     * of buckets actually processed this invocation. */
@@ -66,7 +114,7 @@ object Incremental {
       nBuckets: Int = 16,
       linkCfg: Link.Config = Link.Config(fuzzy = false),
       failAtBucket: Option[Int] = None,
-      recordCounts: Boolean = true,
+      recordCounts: Boolean = false,
       compactEvery: Int = 8): Int = {
     val spark = turns.sparkSession
     Files.createDirectories(Paths.get(outDir))
@@ -89,14 +137,21 @@ object Incremental {
       // per-bucket DELTA append: O(bucket) bytes written per bucket instead
       // of a full-table rewrite (the old rewrite-per-bucket was O(B^2) write
       // amplification across B buckets); merge-on-read keeps the table
-      // consistent between compactions, compact() below bounds read cost
-      Materialize.appendDelta(spark, s"$outDir/edges", r.edges,
-        Materialize.edgeKey, compactEvery = compactEvery)
-      Materialize.appendDelta(spark, s"$outDir/nodes", r.nodes,
-        Seq("guid", "entity_type"), compactEvery = compactEvery)
-      val rowsOut =
-        if (recordCounts) Materialize.readTable(spark, s"$outDir/edges").get.count()
-        else -1L
+      // consistent between compactions, compact() below bounds read cost.
+      // The two tables are independent stores: submit their write jobs
+      // CONCURRENTLY (the bucket checkpoint lands only after both, so a
+      // crash between them just re-runs the bucket — idempotent MERGE).
+      // Pipeline outputs are already key-distinct -> dedupStaged = false.
+      parallel2(
+        () => Materialize.appendDelta(spark, s"$outDir/edges", r.edges,
+          Materialize.edgeKey, compactEvery = compactEvery, dedupStaged = false),
+        () => Materialize.appendDelta(spark, s"$outDir/nodes", r.nodes,
+          Seq("guid", "entity_type"), compactEvery = compactEvery,
+          dedupStaged = false))
+      // count the BUCKET's delta, not the whole table: an O(table) count per
+      // bucket is O(B * table-read) across B buckets — the wrong default
+      // posture at corpus scale (and `recordCounts` itself defaults off)
+      val rowsOut = if (recordCounts) r.edges.count() else -1L
       // free this bucket's pipeline caches (raw-triple persist + registry
       // checkpoint) — without this, blocks accumulate once per bucket for
       // the whole session (merged tables are parquet-backed, independent)
@@ -116,33 +171,119 @@ object Incremental {
         else Seq.empty
       appendMetrics(spark, outDir, Seq(
         (runId, "pipeline", b, "rows_in", rowsIn),
-        (runId, "pipeline", b, "edges_total_after", rowsOut)) ++ lshCaps)
+        (runId, "pipeline", b, "edges_bucket_out", rowsOut)) ++ lshCaps)
       processed += 1
     }
     // end-of-run compaction: fold trailing deltas into a fresh base so
-    // steady-state reads pay zero merge-on-read cost
-    Materialize.compact(spark, s"$outDir/edges")
-    Materialize.compact(spark, s"$outDir/nodes")
+    // steady-state reads pay zero merge-on-read cost (independent tables —
+    // concurrent jobs)
+    parallel2(
+      () => Materialize.compact(spark, s"$outDir/edges"),
+      () => Materialize.compact(spark, s"$outDir/nodes"))
     input.unpersist()
     processed
   }
 
+  /** Run two independent Spark actions as concurrent jobs. */
+  private def parallel2(a: () => Unit, b: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val (fa, fb) = (Future(a()), Future(b()))
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
+
+  // -- Disjoint Resolver (delta-aware) ---------------------------------------
+
+  private def resolveDir(outDir: String) = s"$outDir/_resolve"
+  private def resolvedKeysTable(outDir: String) = s"${resolveDir(outDir)}/resolved_keys"
+  private def resolveCfgPath(outDir: String) = Paths.get(resolveDir(outDir), "_CONFIG")
+
+  /** The Config fields that determine the same-as pair set — a change in any
+    * invalidates the converged-old-keys invariant and forces a full
+    * rediscovery on the next resolve. */
+  private def cfgSignature(cfg: Link.Config): String =
+    Seq(cfg.exactSameAs, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+      cfg.fuzzyTypes.sorted.mkString(","), cfg.maxBandBucket).mkString("|")
+
   /** Global fuzzy-canonicalization compaction — megamind's Disjoint Resolver
-    * as a batch job. Reads the accumulated node table, finds same-entity
-    * classes via MinHash/LSH + CC over canonical names, rewrites edge/node
-    * GUIDs to the class representative, and MERGEs back. Idempotent:
-    * a second invocation finds only singleton classes and changes nothing.
+    * as a batch job, DELTA-AWARE like the reference's watch-triggered design
+    * (the Disjoint Watcher reacts to new (TUID, GUID) pairs, so only
+    * entities touched since the last resolution are re-examined —
+    * `docs/diagrams/megamind.drawio:80-88`).
+    *
+    * Each resolve records the post-rewrite eligible key set under
+    * `_resolve/resolved_keys`; the next invocation anti-joins the node table
+    * against it and runs same-as discovery ONLY over pairs involving a new
+    * key ([[Link.fuzzySameAsDelta]] — old×old pairs are never enumerated).
+    * Correct because a converged resolve leaves no old×old pair at or above
+    * the threshold: any such pair would have been an edge of the previous
+    * pass and hence one component. A [[Link.Config]] change (recorded as a
+    * signature) voids that invariant, so it triggers full rediscovery
+    * automatically; `fullRediscovery = true` forces it.
+    *
+    * Rewrites are entity-granular too: only rows touching a rewritten GUID
+    * are deleted+re-inserted ([[Materialize.appendRewrite]] — one tombstone
+    * + one delta under a single manifest flip), O(affected) instead of the
+    * O(corpus) full-snapshot replace. Touched/total entity counts are logged
+    * and appended to `_metrics` (stage `resolve`).
+    *
+    * Idempotent: a second invocation sees zero new keys and returns after
+    * one node-table scan. First invocation (no state) = full resolve.
     */
+  /** What one resolver pass examined and changed. */
+  final case class ResolveStats(touched: Long, total: Long, rewritten: Long)
+
   def resolveDisjoint(spark: SparkSession, outDir: String,
-      cfg: Link.Config = Link.Config()): Unit = {
+      cfg: Link.Config = Link.Config(),
+      fullRediscovery: Boolean = false): ResolveStats = {
     val nodesOpt = Materialize.readTable(spark, s"$outDir/nodes")
     val edgesOpt = Materialize.readTable(spark, s"$outDir/edges")
-    if (nodesOpt.isEmpty || edgesOpt.isEmpty) return
+    if (nodesOpt.isEmpty || edgesOpt.isEmpty) return ResolveStats(0L, 0L, 0L)
     val nodes = nodesOpt.get
     val edges = edgesOpt.get
+    val t0 = System.currentTimeMillis()
 
-    val keys = nodes.select(col("entity_type"), col("name").as("dict_key"))
-    val sameAs = Link.fuzzySameAs(keys, cfg)
+    // delta watermark: the key set covered by the previous resolve, valid
+    // only under an unchanged discovery config
+    val sig = cfgSignature(cfg)
+    val sigMatches = Files.exists(resolveCfgPath(outDir)) &&
+      Files.readString(resolveCfgPath(outDir)).trim == sig
+    val oldKeys =
+      if (fullRediscovery || !sigMatches) None
+      else Materialize.readTable(spark, resolvedKeysTable(outDir))
+
+    val eligibleAll = nodes.filter(col("entity_type").isin(cfg.fuzzyTypes: _*))
+      .select(col("entity_type"), col("name").as("dict_key")).distinct()
+    val flagged = (oldKeys match {
+      case Some(old) =>
+        val marker = old.select(col("entity_type"), col("dict_key"),
+          lit(1).as("_seen"))
+        eligibleAll.join(marker, Seq("entity_type", "dict_key"), "left")
+          .select(col("entity_type"), col("dict_key"),
+            col("_seen").isNull.as("is_new"))
+      case None =>
+        eligibleAll.select(col("entity_type"), col("dict_key"),
+          lit(true).as("is_new"))
+    }).localCheckpoint(eager = true)
+
+    val counts = flagged.agg(count(lit(1)),
+      sum(when(col("is_new"), 1L).otherwise(0L))).head()
+    val total = counts.getLong(0)
+    val touched = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    log.info(s"[graft] resolver: $touched of $total entities touched since " +
+      s"last resolve (${if (oldKeys.isEmpty) "full rediscovery" else "delta"})")
+
+    if (touched == 0L) { // converged: nothing new since the last resolve
+      appendMetrics(spark, outDir, Seq(
+        ("resolve", "resolve", -1, "touched_entities", 0L),
+        ("resolve", "resolve", -1, "total_entities", total)))
+      flagged.unpersist()
+      return ResolveStats(0L, total, 0L)
+    }
+
+    val sameAs = Link.fuzzySameAsDelta(flagged, cfg)
     val cc = Canonicalize.connectedComponents(
         sameAs.select(col("entity_type"), col("key_a"), col("key_b")))
       .select(col("entity_type").as("cc_et"), col("key").as("cc_key"),
@@ -156,39 +297,65 @@ object Incremental {
         Link.guidFor(col("entity_type"), col("component")).as("new_guid"),
         col("entity_type").as("rw_et"), col("component").as("new_name"))
       .localCheckpoint(eager = true)
+    val nRewrites = rewrite.count()
 
-    if (rewrite.isEmpty) return
+    if (nRewrites > 0L) {
+      // size-gated broadcast (rewrite is checkpointed, count already done):
+      // an explicit hint is never demoted by AQE, so only hint when measured
+      // small; above the gate the planner/AQE pick the join side
+      val hintBc = nRewrites <= cfg.maxBroadcastRegistryRows
+      def bc(df: DataFrame): DataFrame = if (hintBc) broadcast(df) else df
 
-    // size-gated broadcast (rewrite is checkpointed, count is cheap): an
-    // explicit hint is never demoted by AQE, so only hint when measured
-    // small; above the gate the planner/AQE pick the join side
-    val hintBc = rewrite.count() <= cfg.maxBroadcastRegistryRows
-    def bc(df: DataFrame): DataFrame = if (hintBc) broadcast(df) else df
-    val rwSubj = bc(rewrite.select(col("old_guid").as("s_old"), col("new_guid").as("s_new")))
-    val rwObj = bc(rewrite.select(col("old_guid").as("o_old"), col("new_guid").as("o_new")))
-    val newEdges = edges
-      .join(rwSubj, col("subj_guid") === col("s_old"), "left")
-      .join(rwObj, col("obj_guid") === col("o_old"), "left")
-      .select(
+      // AFFECTED edge rows only: delete the pre-rewrite rows, insert the
+      // rewritten ones — O(affected) written, not O(table)
+      val rwSubj = bc(rewrite.select(col("old_guid").as("s_old"), col("new_guid").as("s_new")))
+      val rwObj = bc(rewrite.select(col("old_guid").as("o_old"), col("new_guid").as("o_new")))
+      val edgeCols = Seq("subj_type", "subj_guid", "pred", "obj_kind", "obj_type",
+        "obj_guid", "obj_string", "obj_int64", "obj_float64")
+      val affectedEdges = edges
+        .join(rwSubj, col("subj_guid") === col("s_old"), "left")
+        .join(rwObj, col("obj_guid") === col("o_old"), "left")
+        .filter(col("s_new").isNotNull || col("o_new").isNotNull)
+        .localCheckpoint(eager = true) // feeds the upsert AND the tombstone
+      val edgeUpserts = affectedEdges.select(
         col("subj_type"),
         coalesce(col("s_new"), col("subj_guid")).as("subj_guid"),
         col("pred"), col("obj_kind"), col("obj_type"),
         coalesce(col("o_new"), col("obj_guid")).as("obj_guid"),
         col("obj_string"), col("obj_int64"), col("obj_float64"))
-      .dropDuplicates(Materialize.edgeKey)
+      Materialize.appendRewrite(spark, s"$outDir/edges", edgeUpserts,
+        affectedEdges.select(edgeCols.map(col): _*), Materialize.edgeKey)
 
-    val newNodes = nodes
-      .join(bc(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
-        col("guid") === col("old_guid"), "left")
-      .select(coalesce(col("new_guid"), col("guid")).as("guid"),
-        col("entity_type"),
-        coalesce(col("new_name"), col("name")).as("name"))
-      .groupBy(col("guid"), col("entity_type")).agg(min(col("name")).as("name"))
+      val affectedNodes = nodes
+        .join(bc(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
+          col("guid") === col("old_guid"))
+        .localCheckpoint(eager = true)
+      val nodeUpserts = affectedNodes.select(col("new_guid").as("guid"),
+        col("entity_type"), col("new_name").as("name"))
+      Materialize.appendRewrite(spark, s"$outDir/nodes", nodeUpserts,
+        affectedNodes.select(col("guid"), col("entity_type")),
+        Seq("guid", "entity_type"))
+      affectedEdges.unpersist()
+      affectedNodes.unpersist()
+    }
 
-    // full-replace semantics for a compaction: write fresh snapshots
-    Materialize.mergeSnapshot(spark, s"$outDir/edges",
-      newEdges, Materialize.edgeKey, replace = true)
-    Materialize.mergeSnapshot(spark, s"$outDir/nodes",
-      newNodes, Seq("guid", "entity_type"), replace = true)
+    // record the new watermark: post-rewrite eligible key set + config sig
+    // (read fresh so merged-away names are gone and component reps present)
+    Files.createDirectories(Paths.get(resolveDir(outDir)))
+    val after = Materialize.readTable(spark, s"$outDir/nodes").get
+      .filter(col("entity_type").isin(cfg.fuzzyTypes: _*))
+      .select(col("entity_type"), col("name").as("dict_key")).distinct()
+    Materialize.mergeSnapshot(spark, resolvedKeysTable(outDir), after,
+      Seq("entity_type", "dict_key"), replace = true)
+    Files.writeString(resolveCfgPath(outDir), sig)
+
+    appendMetrics(spark, outDir, Seq(
+      ("resolve", "resolve", -1, "touched_entities", touched),
+      ("resolve", "resolve", -1, "total_entities", total),
+      ("resolve", "resolve", -1, "rewritten_entities", nRewrites),
+      ("resolve", "resolve", -1, "elapsed_ms", System.currentTimeMillis() - t0)))
+    rewrite.unpersist()
+    flagged.unpersist()
+    ResolveStats(touched, total, nRewrites)
   }
 }

@@ -151,17 +151,36 @@ object Link {
     * Blocking is MinHash/LSH by default, or the exact prefix-filter join
     * when [[Config.exactSameAs]] is set (recall 1.0 — output is exactly the
     * >= threshold pair set). */
-  def fuzzySameAs(keys: DataFrame, cfg: Config): DataFrame = {
+  def fuzzySameAs(keys: DataFrame, cfg: Config): DataFrame =
+    sameAsImpl(keys.withColumn("is_new", lit(true)), cfg, delta = false)
+
+  /** Delta same-as discovery for the incremental Disjoint Resolver: `keys`
+    * carries an `is_new` boolean and ONLY pairs involving a new key are
+    * discovered/verified. Old×old pairs are never enumerated — the blocked
+    * joins split into (new ⋈ all) ∪ (old ⋈ new), each with one
+    * O(delta)-sized side (see [[graft.ops.SimJoin.candidatePairs]] for the
+    * exact-path argument). Equivalence with the full discovery requires the
+    * old key set to be CONVERGED (no old×old pair at or above the
+    * threshold) — which is the resolver's post-resolve invariant. */
+  def fuzzySameAsDelta(keys: DataFrame, cfg: Config): DataFrame =
+    sameAsImpl(keys, cfg, delta = true)
+
+  private def sameAsImpl(keys: DataFrame, cfg: Config, delta: Boolean): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
+    // a key mentioned as both new and old collapses to old (max of booleans
+    // with false < true would pick new — use min/bool_and semantics): it was
+    // already resolved, so it only needs to be discoverable as a partner
     val eligible = keys.filter($"entity_type".isin(cfg.fuzzyTypes: _*))
-      .select($"entity_type", $"dict_key").distinct()
+      .groupBy($"entity_type", $"dict_key")
+      .agg(min($"is_new").as("is_new"))
 
     if (cfg.exactSameAs) {
       val shUdf = udf((s: String) => shingles(s).toSeq)
       val items = eligible.select($"entity_type".as("grp"), $"dict_key".as("id"),
-        shUdf($"dict_key").as("toks"))
-      val cand = graft.ops.SimJoin.candidatePairs(items, cfg.jaccardThreshold, "link.exact")
+        shUdf($"dict_key").as("toks"), $"is_new")
+      val cand = graft.ops.SimJoin.candidatePairs(items, cfg.jaccardThreshold,
+        if (delta) "link.exact.delta" else "link.exact", delta = delta)
       val verify = udf((x: String, y: String) => jaccard(x, y))
       return cand
         .select($"grp".as("entity_type"), $"id_a".as("key_a"), $"id_b".as("key_b"))
@@ -170,9 +189,9 @@ object Link {
 
     // single consumer (the bucket-count window) — the stage boundary both
     // self-join sides share is the observed+checkpointed `capped` frame
-    val banded = eligible.as[(String, String)].flatMap { case (et, key) =>
-      bandSignature(key, cfg.numHashes, cfg.bands).map { case (b, h) => (et, key, b, h) }
-    }.toDF("entity_type", "key", "band", "band_hash")
+    val banded = eligible.as[(String, String, Boolean)].flatMap { case (et, key, isNew) =>
+      bandSignature(key, cfg.numHashes, cfg.bands).map { case (b, h) => (et, key, isNew, b, h) }
+    }.toDF("entity_type", "key", "is_new", "band", "band_hash")
 
     // Bucket-size cap: count-over-window reuses the join's shuffle key, so
     // the cap costs no extra exchange. Oversized buckets (k^2/2 pair blowup)
@@ -190,12 +209,19 @@ object Link {
     val capped = graft.ops.CapMetrics.checkpointHarvest(
       withN.filter($"bucket_n" <= cfg.maxBandBucket).drop("bucket_n"))
 
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val candidates = a.join(b,
-        $"a.entity_type" === $"b.entity_type" && $"a.band" === $"b.band" &&
-          $"a.band_hash" === $"b.band_hash" && $"a.key" < $"b.key")
-      .select($"a.entity_type".as("entity_type"), $"a.key".as("key_a"), $"b.key".as("key_b"))
+    val cond = $"a.entity_type" === $"b.entity_type" && $"a.band" === $"b.band" &&
+      $"a.band_hash" === $"b.band_hash" && $"a.key" < $"b.key"
+    def bandJoin(l: DataFrame, r: DataFrame): DataFrame =
+      l.as("a").join(r.as("b"), cond)
+        .select($"a.entity_type".as("entity_type"),
+          $"a.key".as("key_a"), $"b.key".as("key_b"))
+    // delta split, branch by the LEFT (smaller-key) side's newness — same
+    // partition argument as the exact path: new-involved pairs only, each
+    // exactly once per band before the distinct
+    val candidates =
+      (if (!delta) bandJoin(capped, capped)
+       else bandJoin(capped.filter($"is_new"), capped)
+         .unionByName(bandJoin(capped.filter(!$"is_new"), capped.filter($"is_new"))))
       .distinct()
 
     val verify = udf((x: String, y: String) => jaccard(x, y))

@@ -27,8 +27,16 @@ import graft.model.Model._
   *    (merge-on-read), so each incremental batch writes O(batch) bytes, not
   *    O(table) — the fix for the O(B²) write amplification of
   *    rewrite-per-batch;
-  *  - [[Materialize.compact]] folds deltas back into a new base every
-  *    `compactEvery` appends (and at end of run), bounding read-side work;
+  *  - '''tombstones''' `tomb-K` — equality-delete files (the Iceberg
+  *    delete-file analog): key rows that CANCEL earlier inserts of the same
+  *    key. Ordered semantics: the numerically-largest dir id owning a key
+  *    decides its fate (tombstone ids are minted like delta ids, so a
+  *    later re-insert of a deleted key resurrects it — exactly Iceberg's
+  *    sequence-number rule). [[appendRewrite]] writes one tombstone + one
+  *    delta under a single manifest flip — an O(affected) partial rewrite
+  *    instead of an O(table) snapshot;
+  *  - [[Materialize.compact]] folds deltas/tombstones back into a new base
+  *    every `compactEvery` appends (and at end of run), bounding read cost;
   *  - old snapshots/deltas are GC'd after a compaction/rewrite
   *    (`retainSnapshots` bases kept for in-flight readers).
   *
@@ -81,9 +89,11 @@ object Materialize {
 
   // ---- snapshot + delta MERGE emulation -------------------------------------
 
-  final case class Manifest(base: Option[String], deltas: Seq[String]) {
-    def render: String = (base.toSeq ++ deltas).mkString(";")
+  final case class Manifest(base: Option[String], deltas: Seq[String],
+      tombs: Seq[String] = Nil) {
+    def render: String = (base.toSeq ++ deltas ++ tombs).mkString(";")
     def dirs: Seq[String] = base.toSeq ++ deltas
+    def allDirs: Seq[String] = base.toSeq ++ deltas ++ tombs
   }
 
   private def currentPointer(table: String): Path = Paths.get(table, "_CURRENT")
@@ -95,8 +105,9 @@ object Materialize {
     if (!Files.exists(p)) None
     else {
       val parts = Files.readString(p).trim.split(";").filter(_.nonEmpty).toSeq
-      val (bases, deltas) = parts.partition(_.startsWith("snap-"))
-      Some(Manifest(bases.headOption, deltas))
+      val (bases, rest) = parts.partition(_.startsWith("snap-"))
+      val (tombs, deltas) = rest.partition(_.startsWith("tomb-"))
+      Some(Manifest(bases.headOption, deltas, tombs))
     }
   }
 
@@ -106,14 +117,36 @@ object Materialize {
     currentManifest(table).flatMap(_.base).map(d => Paths.get(table, d).toString)
 
   /** Read the visible table: base ∪ deltas, deduplicated on the stored
-    * natural key (merge-on-read). Compacted tables read the base parquet
-    * directly — no dedup work. */
+    * natural key (merge-on-read), minus tombstoned keys. Compacted tables
+    * read the base parquet directly — no dedup work; tables without
+    * tombstones keep the plain dropDuplicates path (rows in these tables are
+    * fully determined by their natural key, so arbitrary-winner dedup is
+    * exact). With tombstones the LAST operation per key by dir id wins —
+    * one hash aggregation, same shuffle shape as the dedup it replaces. */
   def readTable(spark: SparkSession, table: String): Option[DataFrame] =
     currentManifest(table).map { m =>
-      val frames = m.dirs.map(d => spark.read.parquet(Paths.get(table, d).toString))
-      val all = frames.reduce(_ unionByName _)
-      if (m.deltas.isEmpty) all
-      else all.dropDuplicates(readKey(table))
+      if (m.tombs.isEmpty) {
+        val frames = m.dirs.map(d => spark.read.parquet(Paths.get(table, d).toString))
+        val all = frames.reduce(_ unionByName _)
+        if (m.deltas.isEmpty) all
+        else all.dropDuplicates(readKey(table))
+      } else {
+        def dirId(n: String): Long = n.split("-").last.toLong
+        val key = readKey(table)
+        val ins = m.dirs.map(d => spark.read.parquet(Paths.get(table, d).toString)
+          .withColumn("_dir_id", lit(dirId(d))).withColumn("_ins", lit(true)))
+        val del = m.tombs.map(d => spark.read.parquet(Paths.get(table, d).toString)
+          .withColumn("_dir_id", lit(dirId(d))).withColumn("_ins", lit(false)))
+        val all = (ins ++ del).reduce(_.unionByName(_, allowMissingColumns = true))
+        val nonKey = all.columns.toSeq
+          .filterNot(c => key.contains(c) || c == "_dir_id" || c == "_ins")
+        val winner = struct((col("_dir_id").as("i") +: col("_ins").as("ins") +:
+          nonKey.map(c => col(c).as(c))): _*)
+        all.groupBy(key.map(col): _*)
+          .agg(max(winner).as("_w"))
+          .filter(col("_w.ins"))
+          .select(key.map(col) ++ nonKey.map(c => col(s"_w.$c").as(c)): _*)
+      }
     }
 
   // the natural key is part of the table's on-disk contract: written once,
@@ -133,7 +166,8 @@ object Materialize {
     else {
       val st = Files.list(dir)
       try st.toArray.map(_.toString.split("/").last)
-        .filter(n => n.startsWith("snap-") || n.startsWith("delta-")).toSeq
+        .filter(n => n.startsWith("snap-") || n.startsWith("delta-") ||
+          n.startsWith("tomb-")).toSeq
       finally st.close()
     }
   }
@@ -166,14 +200,14 @@ object Materialize {
     * oldest retained base were folded into it and have no live reader). */
   def gc(table: String, retainSnapshots: Int = 2): Unit = {
     currentManifest(table).foreach { m =>
-      val live = m.dirs.toSet
+      val live = m.allDirs.toSet
       val all = listTableDirs(table)
       def id(n: String): Long = n.split("-").last.toLong
       val keepBases = all.filter(_.startsWith("snap-"))
         .sortBy(id).takeRight(math.max(retainSnapshots, 1)).toSet
       val oldestKeptBase = keepBases.map(id).minOption.getOrElse(Long.MaxValue)
       all.filterNot(n => live.contains(n) || keepBases.contains(n) ||
-          (n.startsWith("delta-") && id(n) > oldestKeptBase))
+          ((n.startsWith("delta-") || n.startsWith("tomb-")) && id(n) > oldestKeptBase))
         .foreach(n => deleteDirRecursive(Paths.get(table, n)))
     }
   }
@@ -209,15 +243,44 @@ object Materialize {
     * deltas collapse on read and at the next compaction). */
   def appendDelta(spark: SparkSession, table: String, staged: DataFrame,
       key: Seq[String], compactEvery: Int = 8,
-      retainSnapshots: Int = 2): Unit = {
+      retainSnapshots: Int = 2, dedupStaged: Boolean = true): Unit = {
     Files.createDirectories(Paths.get(table))
     writeKey(table, key)
     val deltaDir = s"delta-${nextId(table)}"
-    staged.dropDuplicates(key)
+    // dedupStaged = false skips the in-batch dedup shuffle when the caller
+    // guarantees the staged frame is already key-distinct (pipeline outputs
+    // are — Materialize.edges/nodes end in a dedup/agg); merge-on-read
+    // would collapse any duplicates anyway, so this only trades write size
+    (if (dedupStaged) staged.dropDuplicates(key) else staged)
       .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString)
     val m = currentManifest(table).getOrElse(Manifest(None, Nil))
-    flip(table, Manifest(m.base, m.deltas :+ deltaDir))
-    if (compactEvery > 0 && m.deltas.size + 1 >= compactEvery)
+    flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs))
+    if (compactEvery > 0 && m.deltas.size + m.tombs.size + 1 >= compactEvery)
+      compact(spark, table, retainSnapshots)
+  }
+
+  /** Partial rewrite under ONE manifest flip: delete `deleteKeys` (key
+    * columns; extra columns are ignored) and insert `upserts`, both
+    * O(affected-rows) writes. The tombstone dir id is minted BEFORE the
+    * delta id, so a key present in both resolves as insert-wins — and any
+    * LATER appendDelta of a deleted key resurrects it (Iceberg
+    * sequence-number semantics), which is what makes re-delivered
+    * pre-rewrite rows safe: they reappear and the next resolver pass
+    * re-merges them (eventual consistency). */
+  def appendRewrite(spark: SparkSession, table: String, upserts: DataFrame,
+      deleteKeys: DataFrame, key: Seq[String], compactEvery: Int = 8,
+      retainSnapshots: Int = 2): Unit = {
+    Files.createDirectories(Paths.get(table))
+    writeKey(table, key)
+    val tombDir = s"tomb-${nextId(table)}"
+    deleteKeys.select(key.map(col): _*).dropDuplicates(key)
+      .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, tombDir).toString)
+    val deltaDir = s"delta-${nextId(table)}"
+    upserts.dropDuplicates(key)
+      .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString)
+    val m = currentManifest(table).getOrElse(Manifest(None, Nil))
+    flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs :+ tombDir))
+    if (compactEvery > 0 && m.deltas.size + m.tombs.size + 2 >= compactEvery)
       compact(spark, table, retainSnapshots)
   }
 
@@ -225,7 +288,7 @@ object Materialize {
     * there are no deltas. */
   def compact(spark: SparkSession, table: String, retainSnapshots: Int = 2): Unit = {
     currentManifest(table).foreach { m =>
-      if (m.deltas.nonEmpty) {
+      if (m.deltas.nonEmpty || m.tombs.nonEmpty) {
         val merged = readTable(spark, table).get
         val snapDir = s"snap-${nextId(table)}"
         merged.write.mode(SaveMode.Overwrite)

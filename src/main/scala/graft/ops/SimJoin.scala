@@ -46,12 +46,27 @@ object SimJoin {
     * (array of DISTINCT tokens). Output: (grp, id_a, id_b) with
     * id_a < id_b. Candidate count is observed under CapMetrics site
     * `simjoin.<site>` (field `candidates`).
+    *
+    * `delta = true` (items must carry an `is_new` boolean column) restricts
+    * the output to pairs involving at least one NEW record — the
+    * delta-resolver path. The restriction is structural, not a post-filter:
+    * the prefix self-join splits into (index=new ⋈ probe=all) ∪
+    * (index=old ⋈ probe=new), so each join has one O(delta)-sized side and
+    * old×old pairs are never enumerated. For a fixed pair the smaller
+    * record's newness picks exactly one of the two joins, so every matched
+    * token row of a surviving pair lands in the same branch — the
+    * positional-filter max-bound aggregation sees the full token set and
+    * recall stays 1.0 over new-involved pairs. Token ranks (document
+    * frequency) are recomputed over ALL items — an O(corpus) linear agg
+    * that keeps both sides on one consistent global token order.
     */
-  def candidatePairs(items: DataFrame, t: Double, site: String): DataFrame = {
+  def candidatePairs(items: DataFrame, t: Double, site: String,
+      delta: Boolean = false): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold in (0,1]: $t")
+    val newCol = if (delta) col("is_new") else lit(true)
     val toks = items
       .select(col("grp"), col("id"), size(col("toks")).cast("long").as("sz"),
-        explode(col("toks")).as("tok"))
+        newCol.as("is_new"), explode(col("toks")).as("tok"))
       .localCheckpoint(eager = true) // feeds df-count AND the rank join-back
 
     val dfreq = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("df"))
@@ -62,17 +77,21 @@ object SimJoin {
     val ranked = toks.join(dfreq, Seq("grp", "tok"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("df") >= 2)
-      .select(col("grp"), col("tok"), col("id"), col("sz"), col("rn"))
+      .select(col("grp"), col("tok"), col("id"), col("sz"), col("rn"), col("is_new"))
       .localCheckpoint(eager = true) // feeds both self-join sides
+    // ranked is materialized — the exploded-token frame is no longer
+    // reachable; free it NOW so repeated calls (bench reps, per-batch
+    // resolver use) don't accumulate corpus-sized block-manager state
+    toks.unpersist()
 
     val probeLen = col("sz") - ceil(col("sz") * t - 1e-9) + 1
     val indexLen = col("sz") - ceil(col("sz") * (2.0 * t / (1.0 + t)) - 1e-9) + 1
     val probe = ranked.filter(col("rn") <= probeLen)
       .select(col("grp"), col("tok"), col("id").as("id_b"),
-        col("sz").as("sz_b"), col("rn").as("rn_b"))
+        col("sz").as("sz_b"), col("rn").as("rn_b"), col("is_new").as("new_b"))
     val index = ranked.filter(col("rn") <= indexLen)
       .select(col("grp"), col("tok"), col("id").as("id_a"),
-        col("sz").as("sz_a"), col("rn").as("rn_a"))
+        col("sz").as("sz_a"), col("rn").as("rn_a"), col("is_new").as("new_a"))
 
     // a = smaller record (index prefix), b = larger (probe prefix); strict
     // (size, id) order generates each unordered pair exactly once
@@ -80,7 +99,16 @@ object SimJoin {
       (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))
     val lengthFilter = col("sz_a").cast("double") >= col("sz_b") * t - 1e-9
 
-    val matched = index.join(probe, Seq("grp", "tok"))
+    // delta split: a pair's branch is decided by ITS a-side (smaller
+    // record) alone — new a goes to branch 1 with EVERY probe partner, old
+    // a meets only new partners in branch 2 — so the branches partition the
+    // new-involved pairs and each pair's matched tokens stay together
+    val joined =
+      if (!delta) index.join(probe, Seq("grp", "tok"))
+      else index.filter(col("new_a")).join(probe, Seq("grp", "tok"))
+        .unionByName(index.filter(!col("new_a"))
+          .join(probe.filter(col("new_b")), Seq("grp", "tok")))
+    val matched = joined
       .filter(sizeOrder && lengthFilter)
       .withColumn("ub",
         lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")))
@@ -96,7 +124,14 @@ object SimJoin {
         when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b2"))
       .withColumnRenamed("id_a2", "id_a").withColumnRenamed("id_b2", "id_b")
 
-    CapMetrics.observed(pairs, s"simjoin.$site",
-      count(lit(1)).as("candidates"))
+    // materialize the (id-only, small) candidate frame eagerly: the
+    // `candidates` metric fires NOW (checkpointHarvest contract — cannot be
+    // pruned downstream), and `ranked`'s corpus-scale token blocks are
+    // freed before returning. The output checkpoint is the only retained
+    // state — id triples, bounded by the candidate count.
+    val out = CapMetrics.checkpointHarvest(
+      CapMetrics.observed(pairs, s"simjoin.$site", count(lit(1)).as("candidates")))
+    ranked.unpersist()
+    out
   }
 }

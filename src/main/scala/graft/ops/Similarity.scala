@@ -148,7 +148,13 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----------------------------------------------
 
-  final case class IvfConfig(nLists: Int = 64, kmeansIters: Int = 5, nProbe: Int = 8)
+  /** `maxBroadcastProbeRows`/`Bytes` gate the probed-queries broadcast in
+    * [[ivfTopK]]: explicit broadcast hints are never demoted by AQE, and the
+    * probed frame is queries x nProbe rows EACH carrying the full embedding
+    * — un-gated it is the OOM path for large query batches. */
+  final case class IvfConfig(nLists: Int = 64, kmeansIters: Int = 5, nProbe: Int = 8,
+      maxBroadcastProbeRows: Long = 2000000L,
+      maxBroadcastProbeBytes: Long = 128L << 20)
 
   /** Deterministic Lloyd k-means coarse quantizer: centroids initialized
     * from the `nLists` smallest ids (pure function of the corpus — no RNG),
@@ -263,9 +269,21 @@ object Similarity {
       listUdf(col("embedding")).as("lst"))
     val probed = queries.select(col("query_id"), col("q_embedding"),
       explode(probesUdf(col("q_embedding"))).as("lst"))
+    // size-gated broadcast (one cheap agg pass over the probe frame — the
+    // probe UDF over the query set, not the corpus): above either gate the
+    // list join shuffles instead (AQE may still promote a small side).
+    // ~24 bytes/row of row overhead + 4 bytes per embedding float.
+    val probedSized = probed.agg(count(lit(1)), sum(size(col("q_embedding")))).head()
+    val probeRows = probedSized.getLong(0)
+    val probeBytes = (if (probedSized.isNullAt(1)) 0L
+      else probedSized.getLong(1)) * 4L + probeRows * 24L
+    val probedSide =
+      if (probeRows <= cfg.maxBroadcastProbeRows &&
+          probeBytes <= cfg.maxBroadcastProbeBytes) broadcast(probed)
+      else probed
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    listed.join(broadcast(probed), Seq("lst"))
+    listed.join(probedSide, Seq("lst"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
       .withColumn("rank", row_number().over(w))
@@ -274,9 +292,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via LSH
-    * blocking — the embedding flavor of Dedup. */
+    * blocking — the embedding flavor of Dedup.
+    *
+    * `maxBucket` bounds the per-(table,bucket) O(k^2) pair kernel: a
+    * degenerate corpus (many identical embeddings — run [[Dedup.exact]] on
+    * content first) would otherwise concentrate quadratic work and memory
+    * in single tasks. Rows in over-cap buckets are dropped and OBSERVED
+    * under CapMetrics site `similarity.neardup` (`dropped_rows`,
+    * `max_bucket`) — never silent, same contract as dedup.minhash/simhash. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      cfg: LshConfig = LshConfig()): DataFrame = {
+      cfg: LshConfig = LshConfig(), maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // candidate IDs via a PER-BUCKET pair kernel: one (table, bucket)-keyed
@@ -288,9 +313,21 @@ object Similarity {
     // signature arrays — and cost 30+ s at the exhaustive fixture config;
     // the kernel's array compare stops at the first mismatch, ~2 elements
     // average.) Embedding arrays never ride the pair shuffle; quadratic
-    // work stays bounded per bucket by the bits/tables choice.
-    val pairs = bucketArrays(corpus, "embedding", "vec_id", cfg)
+    // work stays bounded per bucket by the bits/tables choice AND the
+    // observed maxBucket cap.
+    val keyed = bucketArrays(corpus, "embedding", "vec_id", cfg)
       .select(posexplode(col("bkts")).as(Seq("tbl", "bkt")), col("vec_id"), col("bkts"))
+    val bucketW = Window.partitionBy(col("tbl"), col("bkt"))
+    val withN = CapMetrics.observed(
+      keyed.withColumn("bucket_n", count(lit(1)).over(bucketW)),
+      "similarity.neardup",
+      sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+      max(col("bucket_n")).as("max_bucket"))
+    // observed + checkpointed so drop counts survive AQE empty-relation
+    // pruning (the CapMetrics.checkpointHarvest contract)
+    val capped = CapMetrics.checkpointHarvest(
+      withN.filter(col("bucket_n") <= maxBucket).drop("bucket_n"))
+    val pairs = capped
       .as[(Int, Long, Long, Seq[Long])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Seq[Long])]) =>

@@ -20,13 +20,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    sorted into place, one beyond it is dropped by the engine;
   *  - state is O(1) per user (no event buffering): the fold carries only
   *    (session_idx, start, last, count) — a hot user costs constant
-  *    memory, which is what lets this run over 10^9 users.
+  *    memory, which is what lets this run over 10^9 users;
+  *  - a timeout close must NOT discard the per-user counter: the state is
+  *    replaced by a closed-marker (`n_events == 0`) holding the last
+  *    emitted session_idx, so the user's next post-idle session numbers
+  *    `idx + 1` — identical to the batch sessionizer. (Removing state on
+  *    timeout renumbers every post-idle session from 1 and emits
+  *    duplicate (user_id, session_idx) keys.) The marker never sets a
+  *    timeout, so it persists; state stays O(1) per user ever seen.
   */
 object SessionizeStream {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  /** `n_events == 0` is the closed-marker: no session is open, but
+    * `session_idx` remembers the last emitted ordinal for this user. */
   final case class SessionState(session_idx: Int, start_ms: Long,
       last_ms: Long, n_events: Long)
 
@@ -41,10 +50,13 @@ object SessionizeStream {
   def updateGroup(gapMs: Long)(uid: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (events.isEmpty && state.hasTimedOut) {
-      // watermark passed the open session's deadline: close and emit it
-      val out = state.getOption.map(toSession(uid, _)).iterator
-      state.remove()
-      return out
+      // watermark passed the open session's deadline: close and emit it,
+      // but KEEP the counter — replace state with the closed-marker so the
+      // user's next session numbers session_idx + 1 (batch parity). No
+      // timeout is set on the marker, so it persists without re-firing.
+      val open = state.getOption.filter(_.n_events > 0L)
+      open.foreach(s => state.update(s.copy(n_events = 0L)))
+      return open.map(toSession(uid, _)).iterator
     }
     val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
     val closed = Vector.newBuilder[Session]
@@ -52,6 +64,10 @@ object SessionizeStream {
     sorted.foreach { e =>
       val ms = e.ts.getTime
       cur match {
+        case Some(s) if s.n_events == 0L =>
+          // closed-marker: reopen at the next ordinal, nothing to emit
+          // (a timeout already emitted session s.session_idx)
+          cur = Some(SessionState(s.session_idx + 1, ms, ms, 1L))
         case Some(s) if ms - s.last_ms <= gapMs =>
           cur = Some(s.copy(last_ms = math.max(s.last_ms, ms),
             n_events = s.n_events + 1))
@@ -62,7 +78,7 @@ object SessionizeStream {
           cur = Some(SessionState(1, ms, ms, 1L))
       }
     }
-    cur.foreach { s =>
+    cur.filter(_.n_events > 0L).foreach { s =>
       state.update(s)
       // close via timeout once the WATERMARK (not wall clock) passes the
       // open session's gap deadline

@@ -7,17 +7,19 @@ import graft.TestSpark
 class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def mirror(edges: Seq[(String, String)], iters: Int, d: Double)
-      : Map[String, Double] = {
+  private def mirror(edges: Seq[(String, String)], iters: Int, d: Double,
+      dangling: Boolean = false): Map[String, Double] = {
     val e = edges.distinct
     val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     val n = nodes.size
     val out = e.groupBy(_._1).view.mapValues(_.size).toMap
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to iters) {
+      val s = if (dangling) nodes.filterNot(out.contains).map(r).sum else 0.0
       val contrib = e.groupBy(_._2).view.mapValues(
         _.map { case (u, _) => r(u) / out(u) }.sum).toMap
-      r = nodes.map(v => v -> ((1.0 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+      r = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * s / n + d * contrib.getOrElse(v, 0.0))).toMap
     }
     r
   }
@@ -32,6 +34,37 @@ class GraphSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
     // the sink-free cycle holds most mass; sanity on ordering
     assert(got("a") > got("c") && got("b") > got("c") && got("c") > got("d"))
+  }
+
+  test("dangling redistribution: textbook PageRank on a graph WITH sinks, mass conserved") {
+    import spark.implicits._
+    // b and e are sinks: without redistribution their mass leaks each
+    // iteration; with it the total stays 1 and matches the in-memory mirror
+    val edges = Seq("a" -> "b", "c" -> "a", "c" -> "b", "d" -> "c", "d" -> "e")
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 12,
+        damping = 0.85, danglingRedistribution = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = mirror(edges, 12, 0.85, dangling = true)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conserved
+    // and the default (no redistribution) on the same graph leaks mass
+    val leaky = Graph.pageRank(edges.toDF("src", "dst"), iters = 12)
+      .collect().map(_.getDouble(1)).sum
+    assert(leaky < 0.999)
+  }
+
+  test("tol early exit converges to the fixed-iteration result on a cycle") {
+    import spark.implicits._
+    val cyc = Seq("x" -> "y", "y" -> "z", "z" -> "x")
+    // symmetric cycle: exact answer is uniform from iteration 1; a tiny tol
+    // must stop early and still equal the long fixed run
+    val fixed = Graph.pageRank(cyc.toDF("src", "dst"), iters = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val early = Graph.pageRank(cyc.toDF("src", "dst"), iters = 50, tol = 1e-12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    early.foreach { case (k, v) => assert(math.abs(v - fixed(k)) < 1e-9) }
   }
 
   test("rank mass stays within (0, 1] and leaks only via sinks") {

@@ -47,7 +47,7 @@ class IncrementalSpec extends AnyFunSuite {
     // lineage/metrics recorded per partition
     val cps = Incremental.readCheckpoints(spark, out)
     assert(cps.filter("status = 'done'").count() == 6)
-    assert(spark.read.parquet(s"$out/_metrics")
+    assert(Incremental.readMetrics(spark, out)
       .filter("metric = 'rows_in'").count() == 6)
   }
 
@@ -87,6 +87,68 @@ class IncrementalSpec extends AnyFunSuite {
     val nodes2 = Materialize.readTable(spark, s"$out/nodes").get
       .filter($"entity_type" === "Person").count()
     assert(nodes2 == 1)
+  }
+
+  test("delta resolver: resolve(b1) then delta-resolve(b2) == one-shot resolve(b1 ∪ b2)") {
+    import spark.implicits._
+    val ts0 = new java.sql.Timestamp(0L)
+    def turn(c: String, i: Int, text: String) =
+      graft.model.Model.Turn(c, i, "user", text, "", ts0)
+    // chain-free fuzzy corpus: typo variants split across the batches (the
+    // delta==full equivalence is exactly the per-batch-resolve semantics the
+    // architecture already has; transitive chains through merged-away names
+    // resolve at the batch boundary in both paths for this corpus)
+    val b1 = Seq(
+      turn("c1", 0, "My name is Bob Johnson."),
+      turn("c1", 1, "Bob Johnson is 30 years old."),
+      turn("c2", 0, "My name is Carol White."),
+      turn("c3", 0, "My name is Erin Carter."))
+    val b2 = Seq(
+      turn("c4", 0, "My name is Bob Johnso."),   // fuzzy-merges with b1
+      turn("c5", 0, "My name is Erin Carte."),   // fuzzy-merges with b1
+      turn("c6", 0, "My name is Dave Black."),   // genuinely new singleton
+      turn("c7", 0, "Carol White is 41 years old.")) // exact re-mention: not new
+    // exact PPJoin discovery: recall 1.0 by construction, so the expected
+    // merge set is deterministic (the LSH delta split is covered by
+    // LinkSpec's delta-vs-full comparison)
+    val cfg = Link.Config(exactSameAs = true)
+
+    // delta path: per-batch ingest + resolve
+    val outD = Files.createTempDirectory("graft-delta-r").toString
+    val dict = Pipeline.emptyDict(spark)
+    Incremental.run(b1.toDS(), dict, outD, "rb1", nBuckets = 1)
+    val s1 = Incremental.resolveDisjoint(spark, outD, cfg)
+    assert(s1.touched == s1.total && s1.total > 0) // first pass: full
+    Incremental.run(b2.toDS(), dict, outD, "rb2", nBuckets = 1)
+    val s2 = Incremental.resolveDisjoint(spark, outD, cfg)
+    // entity-granular: only b2's genuinely-new names are touched —
+    // bob johnso, erin carte, dave black (carol white was already resolved)
+    assert(s2.touched == 3, s"touched ${s2.touched}")
+    assert(s2.touched < s2.total, s"no reduction: $s2")
+    // two merges; the shorter variant is the lexicographic-min component
+    // rep, so each b1 original is the entity whose guid gets rewritten
+    assert(s2.rewritten == 2)
+
+    // one-shot reference: everything in one batch, one full resolve
+    val outF = Files.createTempDirectory("graft-full-r").toString
+    Incremental.run((b1 ++ b2).toDS(), dict, outF, "rf", nBuckets = 1)
+    Incremental.resolveDisjoint(spark, outF, cfg)
+
+    assert(edgeSet(Materialize.readTable(spark, s"$outD/edges").get) ==
+      edgeSet(Materialize.readTable(spark, s"$outF/edges").get))
+    def nodeSet(t: String) = Materialize.readTable(spark, t).get
+      .select("guid", "entity_type", "name").collect()
+      .map(_.toSeq.mkString("|")).toSet
+    assert(nodeSet(s"$outD/nodes") == nodeSet(s"$outF/nodes"))
+
+    // third resolve: zero touched, O(scan) no-op
+    val s3 = Incremental.resolveDisjoint(spark, outD, cfg)
+    assert(s3.touched == 0)
+
+    // config change voids the converged-keys invariant -> full rediscovery
+    val s4 = Incremental.resolveDisjoint(spark, outD,
+      cfg.copy(jaccardThreshold = 0.65))
+    assert(s4.touched == s4.total && s4.total > 0)
   }
 
   test("resolve corpus: bucketed exact-link + exact resolveDisjoint equals the one-shot fuzzy pipeline") {

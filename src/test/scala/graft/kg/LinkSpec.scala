@@ -76,6 +76,36 @@ class LinkSpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
+  test("fuzzySameAsDelta equals full discovery restricted to new-involved pairs (both engines)") {
+    import spark.implicits._
+    // old set is CONVERGED (no old×old pair >= t) — the resolver invariant
+    // under which delta == full; new keys match old, new, and nothing
+    val keys = Seq(
+      ("Person", "alice smith", false), ("Person", "robert smith", false),
+      ("Person", "wholly unrelated", false),
+      ("Person", "alice smit", true),      // new×old pair
+      ("Person", "robert smyth", true),    // new×old maybe-pair
+      ("Person", "zanzibar qux", true),    // new singleton
+      ("Person", "zanzibar quxx", true),   // new×new pair
+      ("Order", "1", true), ("Order", "2", true)
+    ).toDF("entity_type", "dict_key", "is_new")
+    val newSet = Set("alice smit", "robert smyth", "zanzibar qux", "zanzibar quxx")
+    for (exact <- Seq(true, false)) {
+      val cfg = Link.Config(exactSameAs = exact)
+      val delta = Link.fuzzySameAsDelta(keys, cfg)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val fullAll: Set[(String, String, String)] = Link.fuzzySameAs(keys.drop("is_new"), cfg)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val full = fullAll.filter { case (_, a, b) =>
+        newSet.contains(a) || newSet.contains(b) }
+      assert(delta == full, s"exact=$exact: $delta vs $full")
+      assert(delta.exists { case (_, a, b) => // at least one new×old pair found
+        newSet.contains(a) ^ newSet.contains(b) })
+      assert(delta.exists { case (_, a, b) => // and one new×new pair
+        newSet.contains(a) && newSet.contains(b) })
+    }
+  }
+
   test("broadcast dictionary maps variants; unknown keys pass through") {
     import spark.implicits._
     val ments = Seq(("Person", "bob smith"), ("Person", "zed qux"))

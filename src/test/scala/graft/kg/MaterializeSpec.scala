@@ -118,6 +118,37 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.readTable(spark, table).get.count() == 5)
   }
 
+  test("appendRewrite: equality deletes + inserts under one flip, ordered semantics") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    Materialize.appendDelta(spark, table,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"),
+      Seq("k", "v"), compactEvery = 0)
+    // rewrite: delete (a,1) and (b,2), insert (a,10) and (d,4)
+    Materialize.appendRewrite(spark, table,
+      upserts = Seq(("a", 10L), ("d", 4L)).toDF("k", "v"),
+      deleteKeys = Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
+      key = Seq("k", "v"), compactEvery = 0)
+    def read() = Materialize.readTable(spark, table).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(read() == Set(("a", 10L), ("c", 3L), ("d", 4L)))
+    val m = Materialize.currentManifest(table).get
+    assert(m.tombs.size == 1 && m.deltas.size == 2)
+
+    // Iceberg sequence-number rule: a LATER re-insert of a deleted key
+    // resurrects it (re-delivered pre-rewrite rows are not lost — the next
+    // resolver pass re-merges them)
+    Materialize.appendDelta(spark, table, Seq(("b", 2L)).toDF("k", "v"),
+      Seq("k", "v"), compactEvery = 0)
+    assert(read() == Set(("a", 10L), ("b", 2L), ("c", 3L), ("d", 4L)))
+
+    // compaction folds tombstones away; the visible rows are unchanged
+    Materialize.compact(spark, table)
+    val mc = Materialize.currentManifest(table).get
+    assert(mc.base.nonEmpty && mc.deltas.isEmpty && mc.tombs.isEmpty)
+    assert(read() == Set(("a", 10L), ("b", 2L), ("c", 3L), ("d", 4L)))
+  }
+
   test("mixed appendDelta + mergeSnapshot keeps one consistent table") {
     import spark.implicits._
     val table = freshDir() + "/t"

@@ -138,18 +138,44 @@ object Plans {
       "inside WholeStageCodegen (native expression, no fallback)" ->
         (s => s.contains("WholeStageCodegen") || s.contains("*(")))
 
-    // --- PPJoin similarity join: keyed equi-joins only, positional filter's
-    // pair aggregation replaces the old distinct (no extra exchange) ---
+    // --- PPJoin similarity join (query level): the verify stage over the
+    // eagerly-checkpointed candidate frame — keyed equi-joins only ---
     audit("q_ngram_pairs", SparkEntry.queries("q_ngram_pairs")(spark, dir),
       execute = true)(
       "no cartesian/nested-loop product anywhere (blocked join only)" ->
         (s => !s.contains("CartesianProduct") &&
           !s.contains("BroadcastNestedLoopJoin")),
-      "pair aggregation carries the positional-filter max bound" ->
-        (s => s.contains("max(ub") || s.contains("max_ub")),
-      "df-count and prefix join share the token key (SortMergeJoin or hash)" ->
+      "verify joins keyed (SortMergeJoin or hash)" ->
         (s => s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
           s.contains("BroadcastHashJoin")))
+
+    // --- PPJoin candidate PLAN, pre-checkpoint (candidatePairs executes it
+    // eagerly and returns a checkpoint, so the audit builds it directly) ---
+    {
+      val shUdf = udf((t: String) =>
+        graft.ops.Dedup.wordShinglesKernel(if (t == null) "" else t, 3).toSeq)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val items = docs.select(lit("_").as("grp"), col("doc_id").as("id"),
+        shUdf(col("text")).as("toks"))
+      val (pairs, ranked) = graft.ops.SimJoin.buildCandidates(items, 0.5, delta = false)
+      audit("simjoin_candidates", pairs)(
+        "pair aggregation carries the positional-filter max bound" ->
+          (s => s.contains("max(ub")),
+        "no cartesian/nested-loop product (prefix-token equi-join only)" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")))
+      ranked.unpersist()
+      // delta-resolver shape: union of (index=new ⨝ probe=all) and
+      // (index=old ⨝ probe=new) — old×old pairs never enumerated
+      val itemsD = items.withColumn("is_new", pmod(col("id"), lit(2)) === 0)
+      val (pairsD, rankedD) = graft.ops.SimJoin.buildCandidates(itemsD, 0.5, delta = true)
+      audit("simjoin_candidates_delta", pairsD)(
+        "delta split is a UNION of two prefix equi-joins" ->
+          (s => s.contains("Union")),
+        "no cartesian product in the delta plan" ->
+          (s => !s.contains("CartesianProduct")))
+      rankedD.unpersist()
+    }
 
     // --- embedding near-dup: first-collision dedup means NO distinct
     // aggregate between the bucket join and the verify joins ---

@@ -510,6 +510,55 @@ object SparkEntry {
     })
   )
 
+  /** Headline queries for Bench's SECOND scale point (the deterministic 10×
+    * fixture from [[ScaleFixture]]). Most reuse the `queries` entry verbatim
+    * at the bigger dir; the near-exhaustive FIXTURE blocking configs
+    * (bits=2 / tables=32 / nProbe=nLists, chosen so the sf0.1 oracle is
+    * exact) are replaced here by the documented corpus-scale configs — at
+    * 10× the exhaustive settings would concentrate the corpus into 4
+    * buckets per table, measuring the fixture pathology, not the operator.
+    * These runs are TIMED ONLY (the sf0.1 pass carries the oracle). */
+  def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> queries("q_dedup_exact"),
+    "q_token_stats" -> queries("q_token_stats"),
+    "q_minhash_pairs" -> queries("q_minhash_pairs"),
+    "q_ngram_pairs" -> queries("q_ngram_pairs"),
+    // corpus-scale Manku blocking (blocks=8/combo=2 -> 16-bit keys): the 1×
+    // fixture's single-slice keys (forced there by the ham<=7 oracle bound)
+    // degenerate at 50k docs — measured max_bucket 49k, 205k rows capped
+    "q_simhash_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        maxHamming = 3, blocks = 8, comboSize = 2)
+    }),
+    "q_doc_groups" -> queries("q_doc_groups"),
+    "q_sessionize" -> queries("q_sessionize"),
+    "q_knn" -> queries("q_knn"),
+    // corpus-scale ANN: 8 tables × 10 bits (buckets stay ~Vecs/1024/table)
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Similarity.lshTopK(emb, queries, 10,
+        graft.ops.Similarity.LshConfig(tables = 8, bits = 10))
+    }),
+    // partial-probe IVF — the documented 1/nProbe scan-fraction scale path
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Similarity.ivfTopK(emb, queries, 10,
+        graft.ops.Similarity.IvfConfig(nLists = 64, kmeansIters = 3, nProbe = 8))
+    }),
+    // near-orthogonal synthetic vectors: planted near-dups sit at ~0.99
+    // cosine, so 0.9 is the selective threshold here (0.30 on this corpus
+    // would admit ~1% of ALL pairs — an output-volume test, not a dedup)
+    "q_embed_neardup" -> ((s, dir) => {
+      graft.ops.Similarity.cosineNearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.90,
+        graft.ops.Similarity.LshConfig(tables = 8, bits = 10))
+    })
+  )
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("kg_incremental" -> oracleSqlBase("kg_edges")) +
     ("kg_streaming" -> oracleSqlBase("kg_edges")) +

@@ -62,6 +62,24 @@ object SimJoin {
     */
   def candidatePairs(items: DataFrame, t: Double, site: String,
       delta: Boolean = false): DataFrame = {
+    val (pairs, ranked) = buildCandidates(items, t, delta)
+    // materialize the (id-only, small) candidate frame eagerly: the
+    // `candidates` metric fires NOW (checkpointHarvest contract — cannot be
+    // pruned downstream), and `ranked`'s corpus-scale token blocks are
+    // freed before returning. The output checkpoint is the only retained
+    // state — id triples, bounded by the candidate count.
+    val out = CapMetrics.checkpointHarvest(
+      CapMetrics.observed(pairs, s"simjoin.$site", count(lit(1)).as("candidates")))
+    ranked.unpersist()
+    out
+  }
+
+  /** The un-checkpointed candidate plan (plus the ranked-token checkpoint
+    * backing it, for the caller to free) — exposed so the physical-plan
+    * audit (graft.Plans) can inspect the join/aggregation structure that
+    * [[candidatePairs]] executes eagerly behind its checkpoint. */
+  private[graft] def buildCandidates(items: DataFrame, t: Double,
+      delta: Boolean): (DataFrame, DataFrame) = {
     require(t > 0.0 && t <= 1.0, s"threshold in (0,1]: $t")
     val newCol = if (delta) col("is_new") else lit(true)
     val toks = items
@@ -124,14 +142,6 @@ object SimJoin {
         when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a")).as("id_b2"))
       .withColumnRenamed("id_a2", "id_a").withColumnRenamed("id_b2", "id_b")
 
-    // materialize the (id-only, small) candidate frame eagerly: the
-    // `candidates` metric fires NOW (checkpointHarvest contract — cannot be
-    // pruned downstream), and `ranked`'s corpus-scale token blocks are
-    // freed before returning. The output checkpoint is the only retained
-    // state — id triples, bounded by the candidate count.
-    val out = CapMetrics.checkpointHarvest(
-      CapMetrics.observed(pairs, s"simjoin.$site", count(lit(1)).as("candidates")))
-    ranked.unpersist()
-    out
+    (pairs, ranked)
   }
 }

@@ -162,7 +162,12 @@ object Similarity {
     * the ONE thing small enough to legitimately live on the driver (mllib's
     * KMeans does the same); assignments stay distributed. Empty clusters
     * keep their previous centroid. */
+  /** Training-run counter — observability that [[ivfTopKIndexed]] really
+    * skips the quantizer (asserted in tests; cheap, process-wide). */
+  private[ops] val kmeansRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def kmeansCentroids(corpus: DataFrame, cfg: IvfConfig): Array[Array[Double]] = {
+    kmeansRuns.incrementAndGet()
     val spark = corpus.sparkSession
     import spark.implicits._
     // checkpoint once: the iterations re-scan these vectors kmeansIters
@@ -273,6 +278,87 @@ object Similarity {
     // probe UDF over the query set, not the corpus): above either gate the
     // list join shuffles instead (AQE may still promote a small side).
     // ~24 bytes/row of row overhead + 4 bytes per embedding float.
+    val probedSized = probed.agg(count(lit(1)), sum(size(col("q_embedding")))).head()
+    val probeRows = probedSized.getLong(0)
+    val probeBytes = (if (probedSized.isNullAt(1)) 0L
+      else probedSized.getLong(1)) * 4L + probeRows * 24L
+    val probedSide =
+      if (probeRows <= cfg.maxBroadcastProbeRows &&
+          probeBytes <= cfg.maxBroadcastProbeBytes) broadcast(probed)
+      else probed
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    listed.join(probedSide, Seq("lst"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  // ---- persisted IVF index --------------------------------------------------
+
+  /** Deterministic corpus fingerprint (order-independent: xor of per-row
+    * hashes + row count) — one linear agg pass, used to validate that a
+    * persisted index still matches the corpus. */
+  private def corpusFingerprint(corpus: DataFrame): (Long, Long) = {
+    val row = corpus.agg(
+      bit_xor(xxhash64(col("vec_id"), col("embedding"))),
+      count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
+  private def ivfMetaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_META.json")
+
+  /** Train the IVF coarse quantizer ONCE and persist it under `dir`:
+    * `centroids.parquet` (nLists × dim — tiny), `assignments.parquet`
+    * (vec_id → list, one row per corpus vector) and a `_META.json` carrying
+    * the corpus fingerprint + config. Repeated query batches then use
+    * [[ivfTopKIndexed]], which skips every k-means/assignment scan. */
+  def buildIvfIndex(corpus: DataFrame, cfg: IvfConfig, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (fp, n) = corpusFingerprint(corpus)
+    val centroids = kmeansCentroids(corpus, cfg)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("lst", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    corpus.select(col("vec_id"), listUdf(col("embedding")).as("lst"))
+      .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+    java.nio.file.Files.writeString(ivfMetaPath(dir),
+      s"""{"fingerprint":$fp,"count":$n,"nLists":${cfg.nLists},""" +
+      s""""kmeansIters":${cfg.kmeansIters}}""" + "\n")
+  }
+
+  /** IVF top-k against a prebuilt [[buildIvfIndex]] index: ZERO training
+    * scans — centroids load to the driver (nLists × dim), assignments join
+    * the corpus on vec_id (one linear hash join). The corpus fingerprint is
+    * re-derived (one agg pass) and must match `_META.json`; a stale index
+    * throws rather than silently serving wrong lists. Output is identical
+    * to [[ivfTopK]] with the same config (the quantizer is deterministic). */
+  def ivfTopKIndexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      cfg: IvfConfig, dir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val meta = java.nio.file.Files.readString(ivfMetaPath(dir))
+    val (fp, n) = corpusFingerprint(corpus)
+    require(meta.contains(s""""fingerprint":$fp""") &&
+        meta.contains(s""""count":$n,""") &&
+        meta.contains(s""""nLists":${cfg.nLists}"""),
+      s"IVF index at $dir does not match this corpus/config — rebuild with buildIvfIndex")
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val assignments = spark.read.parquet(s"$dir/assignments.parquet")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probesUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, cfg.nProbe))
+    val listed = corpus.join(assignments, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("lst"))
+    val probed = queries.select(col("query_id"), col("q_embedding"),
+      explode(probesUdf(col("q_embedding"))).as("lst"))
     val probedSized = probed.agg(count(lit(1)), sum(size(col("q_embedding")))).head()
     val probeRows = probedSized.getLong(0)
     val probeBytes = (if (probedSized.isNullAt(1)) 0L

@@ -365,6 +365,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("persisted IVF index: indexed search == self-contained search, zero re-training") {
+    val k = 5
+    val cfg = Similarity.IvfConfig(nLists = 6, kmeansIters = 3, nProbe = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.buildIvfIndex(corpus, cfg, dir)
+
+    // the indexed path must not invoke the quantizer at all — zero k-means
+    // training runs (and hence zero training scans), identical results
+    val runsBefore = Similarity.kmeansRuns.get()
+    val got = Similarity.ivfTopKIndexed(corpus, queries, k, cfg, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(Similarity.kmeansRuns.get() == runsBefore,
+      "ivfTopKIndexed re-trained the quantizer")
+    val want = Similarity.ivfTopK(corpus, queries, k, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(Similarity.kmeansRuns.get() == runsBefore + 1) // fresh path trains
+    assert(got == want && got.nonEmpty) // identical results
+
+    // a stale index (different corpus) must throw, not serve wrong lists
+    val mutated = corpus.limit(40)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(mutated, queries, k, cfg, dir)
+    }
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Similarity.cosineNearDupPairs(corpus, 0.95,
       Similarity.LshConfig(tables = 8, bits = 4)).collect()

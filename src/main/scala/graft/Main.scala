@@ -26,8 +26,15 @@ import graft.kg.{Incremental, Link, Materialize, Pipeline}
   *                     (entity_type, variant_norm, canonical_norm)
   *   --buckets N       transcript bucket count           [16]
   *   --fuzzy           enable per-batch MinHash/LSH fuzzy linking
+  *   --stream          transcript format only: ingest via Structured
+  *                     Streaming (AvailableNow — drains available input,
+  *                     checkpointed offsets under OUT/_stream_ck, so
+  *                     re-invocations pick up only NEW files)
   *   --resolve         run the Disjoint-Resolver compaction (global
   *                     fuzzy canonicalization) after ingest
+  *   --resolve-every N with --stream: run the DELTA resolver every N
+  *                     micro-batches (megamind's watch-triggered loop;
+  *                     O(delta) per trigger)
   *   --exact-resolve   resolver uses the exact (recall-1.0) prefix-filter
   *                     same-as join instead of MinHash/LSH
   *   --threshold T     fuzzy Jaccard threshold           [0.7]
@@ -50,7 +57,9 @@ object Main {
     var dictPath: Option[String] = None
     var buckets = 16
     var fuzzy = false
+    var stream = false
     var resolve = false
+    var resolveEvery = 0
     var exactResolve = false
     var threshold = 0.7
     var runId = "main"
@@ -66,7 +75,9 @@ object Main {
         case "--dict" => dictPath = Some(args(i + 1)); i += 2
         case "--buckets" => buckets = args(i + 1).toInt; i += 2
         case "--fuzzy" => fuzzy = true; i += 1
+        case "--stream" => stream = true; i += 1
         case "--resolve" => resolve = true; i += 1
+        case "--resolve-every" => resolveEvery = args(i + 1).toInt; i += 2
         case "--exact-resolve" => exactResolve = true; i += 1
         case "--threshold" => threshold = args(i + 1).toDouble; i += 2
         case "--run-id" => runId = args(i + 1); i += 2
@@ -78,6 +89,10 @@ object Main {
     if (in == null || out == null) die("--in and --out are required")
     if (!Set("transcript", "ndjson", "proto").contains(format))
       die(s"unknown --format $format")
+    if (stream && format != "transcript")
+      die("--stream applies to --format transcript only")
+    if (resolveEvery > 0 && !stream)
+      die("--resolve-every requires --stream (use --resolve for batch)")
     stageDir.foreach(d => sys.props("graft.stage.dir") = d)
 
     // embedded use (tests, notebooks): getOrCreate joins a live session —
@@ -98,7 +113,17 @@ object Main {
     val dict = dictPath.map(spark.read.parquet(_)).getOrElse(Pipeline.emptyDict(spark))
     val linkCfg = Link.Config(fuzzy = fuzzy, jaccardThreshold = threshold)
 
+    val resolverCfg = Link.Config(fuzzy = true, exactSameAs = exactResolve,
+      jaccardThreshold = threshold)
+
     format match {
+      case "transcript" if stream =>
+        val q = graft.streaming.StreamingIngest.start(spark, in, out,
+          s"$out/_stream_ck", dict, linkCfg,
+          resolveEvery = resolveEvery, resolveCfg = resolverCfg)
+        q.awaitTermination()
+        println(s"[graft] stream drained (AvailableNow; offsets under " +
+          s"$out/_stream_ck — re-run to pick up new files)")
       case "transcript" =>
         import spark.implicits._
         val turns = spark.read.parquet(in).as[graft.model.Model.Turn]
@@ -123,9 +148,7 @@ object Main {
     }
 
     if (resolve)
-      Incremental.resolveDisjoint(spark, out,
-        Link.Config(fuzzy = true, exactSameAs = exactResolve,
-          jaccardThreshold = threshold))
+      Incremental.resolveDisjoint(spark, out, resolverCfg)
 
     val edges = Materialize.readTable(spark, s"$out/edges").map(_.count()).getOrElse(0L)
     val nodes = Materialize.readTable(spark, s"$out/nodes").map(_.count()).getOrElse(0L)

@@ -21,15 +21,32 @@ import graft.model.Model
   */
 object StreamingIngest {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Start a file-source stream over `inputDir` (parquet transcript rows),
     * merging into `outDir/{edges,nodes}`. `Trigger.AvailableNow` drains all
     * currently-available input then stops — batch-job semantics with
-    * streaming bookkeeping (checkpointed source offsets in `ckDir`). */
+    * streaming bookkeeping (checkpointed source offsets in `ckDir`).
+    *
+    * `resolveEvery = n > 0` runs the Disjoint-Resolver compaction after
+    * every n micro-batches — megamind's watch-triggered resolution loop as
+    * a stream stage. This is affordable in-stream ONLY because
+    * [[graft.kg.Incremental.resolveDisjoint]] is delta-aware: each pass
+    * examines the entities the recent micro-batches ADDED (the `_resolve`
+    * watermark), not the accumulated corpus, and rewrites only affected
+    * rows. With it off (default), fuzzy convergence stays a separate
+    * periodic compaction — the faithful mirror of megamind's async
+    * Disjoint Watcher posture; with it on, the stream converges
+    * continuously with an O(delta) per-trigger cost. */
   def start(spark: SparkSession, inputDir: String, outDir: String, ckDir: String,
-      dict: DataFrame, linkCfg: Link.Config = Link.Config(fuzzy = false)): StreamingQuery = {
+      dict: DataFrame, linkCfg: Link.Config = Link.Config(fuzzy = false),
+      resolveEvery: Int = 0,
+      resolveCfg: Link.Config = Link.Config(fuzzy = true),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    spark.readStream
-      .schema(Model.turnSchema)
+    val reader = spark.readStream.schema(Model.turnSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(inputDir)
       .as[Model.Turn]
       .writeStream
@@ -55,6 +72,14 @@ object StreamingIngest {
         // free per-micro-batch pipeline caches — a long-lived stream would
         // otherwise accumulate one raw-triple persist per batch
         r.close()
+        // watch-triggered resolution: the delta resolver touches only the
+        // entities recent micro-batches added (O(delta) discovery +
+        // O(affected) rewrite), so running it in-stream is bounded work
+        if (resolveEvery > 0 && (batchId + 1) % resolveEvery == 0) {
+          val stats = Incremental.resolveDisjoint(batch.sparkSession, outDir, resolveCfg)
+          log.info(s"[graft] stream resolve after batch $batchId: " +
+            s"touched=${stats.touched}/${stats.total} rewritten=${stats.rewritten}")
+        }
         ()
       }
       .start()

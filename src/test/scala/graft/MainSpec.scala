@@ -120,6 +120,25 @@ class MainSpec extends AnyFunSuite {
       s"staging leak: ${Option(stage.list()).map(_.toSeq)}")
   }
 
+  test("--stream with --resolve-every equals the batch run + resolver") {
+    val base = Files.createTempDirectory("graft-main-stream").toString
+    val turns = Transcripts.fromTestdataResolve(spark, "/root/testdata/sf0.001")
+    turns.write.mode("overwrite").parquet(s"$base/in")
+
+    Main.main(Array("--in", s"$base/in", "--out", s"$base/kgS", "--stream",
+      "--resolve-every", "1", "--exact-resolve", "--threshold", "0.8"))
+    val got = edgeSet(Materialize.readTable(spark, s"$base/kgS/edges").get)
+
+    graft.kg.Incremental.run(turns, Pipeline.emptyDict(spark), s"$base/kgB",
+      "main", nBuckets = 2,
+      linkCfg = Link.Config(fuzzy = false, jaccardThreshold = 0.8),
+      recordCounts = false)
+    graft.kg.Incremental.resolveDisjoint(spark, s"$base/kgB",
+      Link.Config(fuzzy = true, exactSameAs = true, jaccardThreshold = 0.8))
+    val want = edgeSet(Materialize.readTable(spark, s"$base/kgB/edges").get)
+    assert(got == want && got.nonEmpty)
+  }
+
   test("ndjson bulk ingest builds a graph from subgraph files") {
     val base = Files.createTempDirectory("graft-main-nd").toString
     Files.writeString(java.nio.file.Paths.get(base, "sg.ndjson"), Seq(

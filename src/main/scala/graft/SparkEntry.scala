@@ -434,6 +434,17 @@ object SparkEntry {
         .select(col("doc_id"), col("split_cell"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // deterministic STRATIFIED sampling: per-source keep rates as a pure
+    // function of (source, doc_id) — the oracle re-derives the salted FNV
+    // cell and thresholds in HUGEINT arithmetic, so the kept SET (not just
+    // its size) is engine-exact
+    "q_stratified" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(
+          s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
+          Map("src0" -> 0.9, "src1" -> 0.5), defaultFraction = 0.2)
+        .select(col("doc_id"), col("source"), col("sample_cell"))
+        .orderBy(col("doc_id"))
+    }),
     // near-dup GROUPING: connected components over the exact >= 0.5 pair
     // set, numeric-min representative (oracle: recursive-CTE closure)
     "q_doc_groups" -> ((s, dir) => {
@@ -1082,6 +1093,34 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT doc_id, entropy(byte) AS ent FROM ch GROUP BY 1) e ON d.doc_id = e.doc_id
         |ORDER BY media_id""".stripMargin,
+    // salted-FNV stratified sampling: same HUGEINT mod-2^64 fold as
+    // q_sample_split over "source|doc_id", pmod 10^6, per-source threshold
+    "q_stratified" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, source || '|' || CAST(doc_id AS VARCHAR) AS ks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, source, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(ks)+1),
+        |        i -> CAST(ord(ks[i]) AS HUGEINT))),
+        |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |  FROM k
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |         THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS hs
+        |  FROM f
+        |), cellt AS (
+        |  SELECT doc_id, source,
+        |    CAST(((hs % 1000000) + 1000000) % 1000000 AS BIGINT) AS sample_cell
+        |  FROM g
+        |)
+        |SELECT doc_id, source, sample_cell FROM cellt
+        |WHERE sample_cell < CASE source WHEN 'src0' THEN 900000
+        |                                WHEN 'src1' THEN 500000
+        |                                ELSE 200000 END
+        |ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id, doc_id % 90000 + 1000 AS duration_ms

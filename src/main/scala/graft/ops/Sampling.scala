@@ -29,4 +29,30 @@ object Sampling {
           .when(col("split_cell") < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic STRATIFIED sampling: keep a row iff
+    * `pmod(fnv1a("<stratum>|<key>"), 10^6) < round(fraction(stratum)*10^6)`
+    * — per-stratum rates (curation mixes: oversample rare sources,
+    * downsample boilerplate-heavy ones) as a pure function of
+    * (stratum, key). Same engine-portability contract as [[assignSplit]]:
+    * rerun/append-stable, re-derivable by any engine, zero shuffles (a
+    * codegen'd projection + filter — never `df.sampleBy`, whose
+    * Bernoulli draw changes across runs and partitionings). The stratum
+    * salts the hash, so the SAME key is an independent draw in different
+    * strata. `sample_cell` is kept in the output for auditability. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions in [0,1]; got $fractions default=$defaultFraction")
+    def thresholdOf(f: Double): Long = math.round(f * 1000000.0)
+    val cell = pmod(TextHash.fingerprint64(
+      concat(col(strataCol), lit("|"), col(idCol).cast("string"))), lit(1000000L))
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(thresholdOf(defaultFraction)): org.apache.spark.sql.Column) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(thresholdOf(f))).otherwise(acc)
+    }
+    df.withColumn("sample_cell", cell)
+      .filter(col("sample_cell") < threshold)
+  }
 }

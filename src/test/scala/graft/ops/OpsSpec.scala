@@ -231,6 +231,42 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
     first.foreach { case (id, s) => assert(grown(id) == s) }
   }
+
+  test("stratifiedSample: deterministic per-stratum rates, stratum-salted, append-stable") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val fr = Map("s0" -> 0.8, "s1" -> 0.2)
+    def run() = Sampling.stratifiedSample(df, "src", "doc_id", fr, defaultFraction = 0.05)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run()
+    assert(a == run()) // rerun-stable
+    // per-stratum keep rates near the requested fractions (1000 rows each)
+    val rates = a.groupBy(_._2).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(rates("s0") - 0.8) < 0.05, rates.toString)
+    assert(math.abs(rates("s1") - 0.2) < 0.05, rates.toString)
+    assert(rates.getOrElse("s2", 0.0) < 0.1) // default 0.05
+    // matches the kernel exactly (engine-independent)
+    a.foreach { case (id, s) =>
+      val h = graft.functions.TextHashKernels.fingerprint64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$s|$id"))
+      val cell = ((h % 1000000) + 1000000) % 1000000
+      val thresh = math.round(fr.getOrElse(s, 0.05) * 1000000.0)
+      assert(cell < thresh, s"($id,$s) kept with cell $cell >= $thresh")
+    }
+    // stratum salts the hash: the same key is an independent draw per
+    // stratum, so the kept sets of two equal-rate strata must differ
+    val dfEq = (0L until 1000L).flatMap(i => Seq((i, "x"), (i, "y")))
+      .toDF("doc_id", "src")
+    val kept = Sampling.stratifiedSample(dfEq, "src", "doc_id",
+        Map("x" -> 0.5, "y" -> 0.5)).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(kept("x") != kept("y"))
+    // append stability: a grown corpus keeps every prior decision
+    val firstKept = Sampling.stratifiedSample(df.limit(900), "src", "doc_id", fr, 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(firstKept.subsetOf(a.map(_._1)))
+  }
 }
 
 class SimJoinSpec extends AnyFunSuite {

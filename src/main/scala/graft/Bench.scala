@@ -78,7 +78,7 @@ object Bench {
     }
     val scaleJson =
       if (!scale2) ""
-      else {
+      else try {
         val t0 = System.nanoTime()
         val dir10 = ScaleFixture.ensure(spark, sfDir,
           sys.env.getOrElse("SPARK_GRAFT_10X_DIR", "/tmp/graft-10x"))
@@ -105,6 +105,12 @@ object Bench {
         val total10 = r10.collect { case (_, v, true) => v }.sum
         s""","queries_10x":$qs10,"total_10x":$total10,"gen_10x_sec":$genSecs""" +
           s""","fixture_10x":"$dir10""""
+      } catch {
+        // a fixture-generation failure must not swallow the whole sweep's
+        // JSON line (the same rule as per-query errors) — report and go on
+        case e: Throwable =>
+          System.err.println(s"[bench] 10x scale point failed: ${e.getMessage}")
+          s""","scale2_error":${"\"" + e.getClass.getSimpleName + "\""}"""
       }
     // cap/candidate observability summary (stderr; the stdout JSON line is
     // the driver contract and stays single-line)

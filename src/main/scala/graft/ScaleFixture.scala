@@ -85,13 +85,22 @@ object ScaleFixture {
     * df-per-token growth — and hence candidate volume — ~linear in corpus
     * size, which is what a scaling ratio should measure. */
   def ensure(spark: SparkSession, baseDir: String, outDir: String): String = {
-    if (Files.exists(Paths.get(outDir, "_READY"))) return outDir
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
 
     val baseVocab = spark.read.parquet(s"$baseDir/documents.parquet")
       .selectExpr("explode(split(text, ' ')) AS w").distinct()
       .orderBy("w").as[String].collect()
+
+    // cache marker carries a SIGNATURE of (generator params, base vocab):
+    // a bare marker would silently reuse a fixture built from a different
+    // base dir or an older generator, making cross-round bench ratios
+    // incomparable without any visible signal
+    val signature = s"v1|$Factor|$Docs|$Vecs|$Events|$Dim|$Users|" +
+      s"${baseVocab.length}|${baseVocab.mkString(",").hashCode}"
+    val ready = Paths.get(outDir, "_READY")
+    if (Files.exists(ready) && Files.readString(ready).trim == signature)
+      return outDir
     // vocab × Factor^(1/3): trigram space scales ×Factor, so matched-pair
     // volume per doc stays ~constant as the corpus grows ×Factor
     val target = math.ceil(baseVocab.length * math.cbrt(Factor.toDouble)).toInt
@@ -126,7 +135,7 @@ object ScaleFixture {
     }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    Files.writeString(Paths.get(outDir, "_READY"), "ok\n")
+    Files.writeString(ready, signature + "\n")
     outDir
   }
 }

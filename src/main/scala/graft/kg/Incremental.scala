@@ -68,24 +68,40 @@ object Incremental {
     org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.LongType)))
 
-  def readCheckpoints(spark: SparkSession, outDir: String): DataFrame = {
-    if (Files.exists(Paths.get(cpPath(outDir))))
-      spark.read.schema(cpSchema).option("mode", "DROPMALFORMED").json(cpPath(outDir))
-    else {
-      import spark.implicits._
-      Seq.empty[Checkpoint].toDF()
+  /** Read an append dir that may hold JSONL rows (current format) AND
+    * parquet part files (the pre-r4 format): a dir written by an older
+    * build must not read as EMPTY — that would silently void
+    * completedBuckets and re-process every done bucket on resume. */
+  private def readAppendDir(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (!Files.exists(Paths.get(dir)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val names = {
+      val st = Files.list(Paths.get(dir))
+      try st.toArray.map(_.toString) finally st.close()
     }
+    val frames = Seq(
+      if (names.exists(_.endsWith(".json")))
+        Some(spark.read.schema(schema).option("mode", "DROPMALFORMED")
+          .option("pathGlobFilter", "*.json").json(dir))
+      else None,
+      if (names.exists(_.endsWith(".parquet")))
+        Some(spark.read.schema(schema)
+          .option("pathGlobFilter", "*.parquet").parquet(dir))
+      else None).flatten
+    if (frames.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else frames.reduce(_ unionByName _)
   }
+
+  def readCheckpoints(spark: SparkSession, outDir: String): DataFrame =
+    readAppendDir(spark, cpPath(outDir), cpSchema)
 
   /** The per-bucket/per-resolve metrics table
     * `(run_id, stage, partition_key, metric, value)`. */
-  def readMetrics(spark: SparkSession, outDir: String): DataFrame = {
-    if (Files.exists(Paths.get(metricsPath(outDir))))
-      spark.read.schema(metricsSchema).option("mode", "DROPMALFORMED")
-        .json(metricsPath(outDir))
-    else spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), metricsSchema)
-  }
+  def readMetrics(spark: SparkSession, outDir: String): DataFrame =
+    readAppendDir(spark, metricsPath(outDir), metricsSchema)
 
   def completedBuckets(spark: SparkSession, outDir: String, runId: String): Set[Int] =
     readCheckpoints(spark, outDir)
@@ -126,6 +142,7 @@ object Incremental {
     // scale the input IS a table; this matters when `turns` is computed.)
     val input = turns.localCheckpoint(eager = true)
     var processed = 0
+    try {
     todo.foreach { b =>
       failAtBucket.foreach(f => if (f == b)
         throw new RuntimeException(s"injected failure at bucket $b"))
@@ -180,19 +197,12 @@ object Incremental {
     parallel2(
       () => Materialize.compact(spark, s"$outDir/edges"),
       () => Materialize.compact(spark, s"$outDir/nodes"))
-    input.unpersist()
     processed
+    } finally input.unpersist() // also on a mid-bucket failure (resume re-checkpoints)
   }
 
-  /** Run two independent Spark actions as concurrent jobs. */
-  private def parallel2(a: () => Unit, b: () => Unit): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val (fa, fb) = (Future(a()), Future(b()))
-    Await.result(fa, Duration.Inf)
-    Await.result(fb, Duration.Inf)
-  }
+  private def parallel2(a: () => Unit, b: () => Unit): Unit =
+    Materialize.awaitBoth(a, b)
 
   // -- Disjoint Resolver (delta-aware) ---------------------------------------
 
@@ -283,7 +293,7 @@ object Incremental {
       return ResolveStats(0L, total, 0L)
     }
 
-    val sameAs = Link.fuzzySameAsDelta(flagged, cfg)
+    val (sameAs, freeDiscovery) = Link.fuzzySameAsManaged(flagged, cfg, delta = true)
     val cc = Canonicalize.connectedComponents(
         sameAs.select(col("entity_type"), col("key_a"), col("key_b")))
       .select(col("entity_type").as("cc_et"), col("key").as("cc_key"),
@@ -298,6 +308,10 @@ object Incremental {
         col("entity_type").as("rw_et"), col("component").as("new_name"))
       .localCheckpoint(eager = true)
     val nRewrites = rewrite.count()
+    // rewrite is materialized — free the discovery's internal checkpoints
+    // so a resolver LOOP (per-micro-batch resolveEvery) stays O(1) in
+    // block-manager state instead of one candidate frame per pass
+    freeDiscovery()
 
     if (nRewrites > 0L) {
       // size-gated broadcast (rewrite is checkpointed, count already done):

@@ -152,7 +152,7 @@ object Link {
     * when [[Config.exactSameAs]] is set (recall 1.0 — output is exactly the
     * >= threshold pair set). */
   def fuzzySameAs(keys: DataFrame, cfg: Config): DataFrame =
-    sameAsImpl(keys.withColumn("is_new", lit(true)), cfg, delta = false)
+    sameAsImpl(keys.withColumn("is_new", lit(true)), cfg, delta = false)._1
 
   /** Delta same-as discovery for the incremental Disjoint Resolver: `keys`
     * carries an `is_new` boolean and ONLY pairs involving a new key are
@@ -163,9 +163,22 @@ object Link {
     * old key set to be CONVERGED (no old×old pair at or above the
     * threshold) — which is the resolver's post-resolve invariant. */
   def fuzzySameAsDelta(keys: DataFrame, cfg: Config): DataFrame =
-    sameAsImpl(keys, cfg, delta = true)
+    sameAsImpl(keys, cfg, delta = true)._1
 
-  private def sameAsImpl(keys: DataFrame, cfg: Config, delta: Boolean): DataFrame = {
+  /** [[fuzzySameAs]]/[[fuzzySameAsDelta]] plus a cleanup that frees the
+    * discovery's INTERNAL eager checkpoints (the PPJoin candidate frame or
+    * the capped band frame). Call it only after every frame derived from
+    * the returned DataFrame is materialized — looped callers (the
+    * per-micro-batch stream resolver, per-bucket linking) otherwise
+    * accumulate one checkpoint per pass in the block manager for the
+    * process lifetime (the exact un-freed-stage-cache failure class of the
+    * r1 throughput ceiling). `keys` must carry `is_new` when `delta`. */
+  def fuzzySameAsManaged(keys: DataFrame, cfg: Config,
+      delta: Boolean): (DataFrame, () => Unit) =
+    sameAsImpl(if (delta) keys else keys.withColumn("is_new", lit(true)), cfg, delta)
+
+  private def sameAsImpl(keys: DataFrame, cfg: Config,
+      delta: Boolean): (DataFrame, () => Unit) = {
     val spark = keys.sparkSession
     import spark.implicits._
     // a key mentioned as both new and old collapses to old (max of booleans
@@ -182,9 +195,10 @@ object Link {
       val cand = graft.ops.SimJoin.candidatePairs(items, cfg.jaccardThreshold,
         if (delta) "link.exact.delta" else "link.exact", delta = delta)
       val verify = udf((x: String, y: String) => jaccard(x, y))
-      return cand
+      return (cand
         .select($"grp".as("entity_type"), $"id_a".as("key_a"), $"id_b".as("key_b"))
-        .filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold)
+        .filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold),
+        () => { cand.unpersist(); () })
     }
 
     // single consumer (the bucket-count window) — the stage boundary both
@@ -225,39 +239,52 @@ object Link {
       .distinct()
 
     val verify = udf((x: String, y: String) => jaccard(x, y))
-    candidates.filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold)
+    (candidates.filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold),
+      () => { capped.unpersist(); () })
   }
 
   /** Full linking: mentions → dict keys → fuzzy same-as edges → CC canonical
     * map. Returns `(entity_type, norm_key, canonical_key, guid)` — the
     * TUID→GUID registry, ready to join against raw triples.
     */
-  def registry(raw: DataFrame, dict: DataFrame, cfg: Config = Config()): DataFrame = {
+  def registry(raw: DataFrame, dict: DataFrame, cfg: Config = Config()): DataFrame =
+    registryManaged(raw, dict, cfg)._1
+
+  /** [[registry]] plus a cleanup freeing its internal eager checkpoints
+    * (the mention set, and the same-as discovery's candidate/band frames)
+    * — call only after the returned frame is materialized (Pipeline
+    * checkpoints it, then cleans; per-bucket/per-micro-batch loops would
+    * otherwise retain one mention checkpoint per pass). */
+  def registryManaged(raw: DataFrame, dict: DataFrame,
+      cfg: Config = Config()): (DataFrame, () => Unit) = {
     val spark = raw.sparkSession
     import spark.implicits._
     // distinct mention set: small (entities ≪ mentions); materialized once,
     // consumed by both the fuzzy chain and the canonical-map join
     val ments = applyDict(mentions(raw), dict).localCheckpoint(eager = true)
 
-    val canonical =
+    val (canonical, freeSameAs: (() => Unit)) =
       if (cfg.fuzzy) {
-        val sameAs = fuzzySameAs(ments, cfg)
+        val (sameAs, free) = fuzzySameAsManaged(ments, cfg, delta = false)
         // rename before joining: cc derives from ments, so unrenamed columns
         // would make this an ambiguous self-join
         val cc = Canonicalize.connectedComponents(
             sameAs.select($"entity_type", $"key_a", $"key_b"))
           .select($"entity_type".as("cc_et"), $"key".as("cc_key"),
             $"component".as("component"))
-        ments.join(cc,
+        (ments.join(cc,
             ments("entity_type") === cc("cc_et") && ments("dict_key") === cc("cc_key"),
             "left")
           .select(ments("entity_type"), ments("norm_key"),
-            coalesce(cc("component"), ments("dict_key")).as("canonical_key"))
+            coalesce(cc("component"), ments("dict_key")).as("canonical_key")),
+          free)
       } else {
-        ments.select($"entity_type", $"norm_key", $"dict_key".as("canonical_key"))
+        (ments.select($"entity_type", $"norm_key", $"dict_key".as("canonical_key")),
+          () => ())
       }
 
-    canonical.withColumn("guid", guidFor($"entity_type", $"canonical_key"))
+    (canonical.withColumn("guid", guidFor($"entity_type", $"canonical_key")),
+      () => { freeSameAs(); ments.unpersist(); () })
   }
 
   /** Rewrite raw triples to canonical GUIDs using the registry (S5 labeling:

@@ -56,6 +56,23 @@ object Materialize {
   val edgeKey: Seq[String] = Seq("subj_type", "subj_guid", "pred", "obj_kind",
     "obj_type", "obj_guid", "obj_string", "obj_int64", "obj_float64")
 
+  /** Run two independent table writes as concurrent Spark jobs, awaiting
+    * BOTH before propagating a failure: abandoning the in-flight second
+    * future would let a same-JVM retry race its unsynchronized
+    * read-manifest → flip against the orphan (the single-writer assumption
+    * is per TABLE, and an orphan violates it). The first failure rethrows
+    * after both settle. */
+  private[graft] def awaitBoth(a: () => Unit, b: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val (fa, fb) = (Future(a()), Future(b()))
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get
+    rb.get
+  }
+
   /** Labeled triples → deduplicated edge rows (drop lineage, collapse
     * replays/duplicates). Map-side partial aggregation makes this cheap:
     * Catalyst plans dropDuplicates as a hash aggregate with partial+final.

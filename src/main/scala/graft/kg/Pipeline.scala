@@ -110,7 +110,13 @@ object Pipeline {
 
   private def runLinked(raw: DataFrame, freeRaw: () => Unit, dict: DataFrame,
       linkCfg: Link.Config): Result = {
-    val reg = Link.registry(raw, dict, linkCfg).localCheckpoint(eager = true)
+    val (regRaw, freeRegInternals) = Link.registryManaged(raw, dict, linkCfg)
+    val reg = regRaw.localCheckpoint(eager = true)
+    // the registry is materialized: free the linking stage's internal
+    // checkpoints NOW (mention set + same-as candidate/band frames) — a
+    // per-bucket/per-micro-batch loop would otherwise retain one set per
+    // pass for the process lifetime
+    freeRegInternals()
     // size-gated broadcast hint: the registry is already checkpointed, so
     // counting rows AND estimating raw bytes is one cheap scan of cached
     // blocks. Above either gate the labeling joins shuffle (AQE may still

@@ -39,18 +39,26 @@ object Sampling {
     * codegen'd projection + filter — never `df.sampleBy`, whose
     * Bernoulli draw changes across runs and partitionings). The stratum
     * salts the hash, so the SAME key is an independent draw in different
-    * strata. `sample_cell` is kept in the output for auditability. */
+    * strata. `sample_cell` is kept in the output for auditability. A null
+    * stratum (or null key) is sampled at `defaultFraction`, hashing as the
+    * empty string — a corpus with BOTH null and "" strata draws them from
+    * the same cells. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
       s"fractions in [0,1]; got $fractions default=$defaultFraction")
     def thresholdOf(f: Double): Long = math.round(f * 1000000.0)
+    // null-safe: a null stratum (or null key) must fall under
+    // defaultFraction like any unlisted stratum, not vanish because
+    // concat(null, ...) nulls the hash and `NULL < t` filters everything out
+    val strata = coalesce(col(strataCol).cast("string"), lit(""))
+    val key = coalesce(col(idCol).cast("string"), lit(""))
     val cell = pmod(TextHash.fingerprint64(
-      concat(col(strataCol), lit("|"), col(idCol).cast("string"))), lit(1000000L))
+      concat(strata, lit("|"), key)), lit(1000000L))
     val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
       lit(thresholdOf(defaultFraction)): org.apache.spark.sql.Column) {
-      case (acc, (s, f)) => when(col(strataCol) === s, lit(thresholdOf(f))).otherwise(acc)
+      case (acc, (s, f)) => when(strata === s, lit(thresholdOf(f))).otherwise(acc)
     }
     df.withColumn("sample_cell", cell)
       .filter(col("sample_cell") < threshold)

@@ -329,10 +329,15 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     corpus.select(col("vec_id"), listUdf(col("embedding")).as("lst"))
       .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
-    java.nio.file.Files.writeString(ivfMetaPath(dir),
-      s"""{"fingerprint":$fp,"count":$n,"nLists":${cfg.nLists},""" +
-      s""""kmeansIters":${cfg.kmeansIters}}""" + "\n")
+    java.nio.file.Files.writeString(ivfMetaPath(dir), ivfMeta(fp, n, cfg))
   }
+
+  // one canonical rendering, written by build and compared WHOLE by the
+  // indexed reader — a substring check would prefix-match numbers (nLists=6
+  // "validates" against 64) and skip fields entirely
+  private def ivfMeta(fp: Long, n: Long, cfg: IvfConfig): String =
+    s"""{"fingerprint":$fp,"count":$n,"nLists":${cfg.nLists},""" +
+    s""""kmeansIters":${cfg.kmeansIters}}""" + "\n"
 
   /** IVF top-k against a prebuilt [[buildIvfIndex]] index: ZERO training
     * scans — centroids load to the driver (nLists × dim), assignments join
@@ -346,10 +351,14 @@ object Similarity {
     import spark.implicits._
     val meta = java.nio.file.Files.readString(ivfMetaPath(dir))
     val (fp, n) = corpusFingerprint(corpus)
-    require(meta.contains(s""""fingerprint":$fp""") &&
-        meta.contains(s""""count":$n,""") &&
-        meta.contains(s""""nLists":${cfg.nLists}"""),
-      s"IVF index at $dir does not match this corpus/config — rebuild with buildIvfIndex")
+    // whole-string compare against the canonical rendering: every field
+    // (fingerprint, count, nLists, kmeansIters) must match exactly —
+    // kmeansIters changes the centroids, so a mismatched config would
+    // silently serve different neighbors than ivfTopK with the same cfg
+    require(meta == ivfMeta(fp, n, cfg),
+      s"IVF index at $dir does not match this corpus/config " +
+        s"(stored ${meta.trim}, expected ${ivfMeta(fp, n, cfg).trim}) — " +
+        "rebuild with buildIvfIndex")
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val assignments = spark.read.parquet(s"$dir/assignments.parquet")

@@ -56,19 +56,16 @@ object StreamingIngest {
         val r = Pipeline.run(batch, dict, linkCfg)
         // delta append per micro-batch: O(batch) bytes, periodic compaction
         // (every 8 batches) instead of a full-table rewrite per batch. The
-        // two stores are independent — concurrent write jobs; pipeline
-        // outputs are already key-distinct -> dedupStaged = false (a crash
-        // between them re-runs the micro-batch: idempotent MERGE).
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val fe = Future(Materialize.appendDelta(batch.sparkSession,
-          s"$outDir/edges", r.edges, Materialize.edgeKey, dedupStaged = false))
-        val fn = Future(Materialize.appendDelta(batch.sparkSession,
-          s"$outDir/nodes", r.nodes, Seq("guid", "entity_type"),
-          dedupStaged = false))
-        Await.result(fe, Duration.Inf)
-        Await.result(fn, Duration.Inf)
+        // two stores are independent — concurrent write jobs, BOTH awaited
+        // even on failure (no orphan writer); pipeline outputs are already
+        // key-distinct -> dedupStaged = false (a crash between them re-runs
+        // the micro-batch: idempotent MERGE).
+        Materialize.awaitBoth(
+          () => Materialize.appendDelta(batch.sparkSession,
+            s"$outDir/edges", r.edges, Materialize.edgeKey, dedupStaged = false),
+          () => Materialize.appendDelta(batch.sparkSession,
+            s"$outDir/nodes", r.nodes, Seq("guid", "entity_type"),
+            dedupStaged = false))
         // free per-micro-batch pipeline caches — a long-lived stream would
         // otherwise accumulate one raw-triple persist per batch
         r.close()

@@ -266,6 +266,11 @@ class SamplingSpec extends AnyFunSuite {
     val firstKept = Sampling.stratifiedSample(df.limit(900), "src", "doc_id", fr, 0.05)
       .collect().map(_.getLong(0)).toSet
     assert(firstKept.subsetOf(a.map(_._1)))
+    // null stratum is sampled at defaultFraction, not silently dropped
+    val withNull = (0L until 1000L).map(i => (i, null: String)).toDF("doc_id", "src")
+    val keptNull = Sampling.stratifiedSample(withNull, "src", "doc_id",
+      fr, defaultFraction = 0.3).count()
+    assert(math.abs(keptNull / 1000.0 - 0.3) < 0.06, s"null-stratum kept $keptNull")
   }
 }
 
@@ -423,6 +428,14 @@ class SimilaritySpec extends AnyFunSuite {
     val mutated = corpus.limit(40)
     intercept[IllegalArgumentException] {
       Similarity.ivfTopKIndexed(mutated, queries, k, cfg, dir)
+    }
+    // and so must a config mismatch — kmeansIters changes the centroids,
+    // nLists=6 must not prefix-match a stored 64
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(corpus, queries, k, cfg.copy(kmeansIters = 5), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(corpus, queries, k, cfg.copy(nLists = 64), dir)
     }
   }
 

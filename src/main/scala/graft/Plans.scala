@@ -177,6 +177,16 @@ object Plans {
       rankedD.unpersist()
     }
 
+    // --- deterministic sampling: pure projection + filter, ZERO exchanges
+    // before the (output-ordering) sort — the whole point of hash-bucket
+    // sampling over sampleBy ---
+    audit("q_stratified", SparkEntry.queries("q_stratified")(spark, dir),
+      execute = true)(
+      "no shuffle except the output sort (one Exchange at most)" ->
+        (s => s.split("Initial Plan")(0).split("Exchange").length <= 2),
+      "fingerprint64 evaluated inline (codegen'd projection)" ->
+        (s => s.toLowerCase.contains("fingerprint64")))
+
     // --- embedding near-dup: first-collision dedup means NO distinct
     // aggregate between the bucket join and the verify joins ---
     audit("q_embed_neardup", SparkEntry.queries("q_embed_neardup")(spark, dir),

@@ -185,7 +185,8 @@ object Plans {
       "no shuffle except the output sort (one Exchange at most)" ->
         (s => s.split("Initial Plan")(0).split("Exchange").length <= 2),
       "fingerprint64 evaluated inline (codegen'd projection)" ->
-        (s => s.toLowerCase.contains("fingerprint64")))
+        (s => s.toLowerCase.contains("fingerprint64") &&
+          (s.contains("WholeStageCodegen") || s.contains("*("))))
 
     // --- embedding near-dup: first-collision dedup means NO distinct
     // aggregate between the bucket join and the verify joins ---

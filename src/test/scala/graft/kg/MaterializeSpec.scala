@@ -149,6 +149,19 @@ class MaterializeSpec extends AnyFunSuite {
     assert(read() == Set(("a", 10L), ("b", 2L), ("c", 3L), ("d", 4L)))
   }
 
+  test("awaitBoth settles the second action even when the first fails (no orphan writer)") {
+    val bDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ex = intercept[RuntimeException] {
+      Materialize.awaitBoth(
+        () => throw new RuntimeException("boom"),
+        () => { Thread.sleep(300); bDone.set(true) })
+    }
+    assert(ex.getMessage == "boom")
+    // the in-flight second write finished BEFORE the failure propagated —
+    // a same-JVM retry can never race an orphan manifest flip
+    assert(bDone.get)
+  }
+
   test("mixed appendDelta + mergeSnapshot keeps one consistent table") {
     import spark.implicits._
     val table = freshDir() + "/t"

@@ -44,9 +44,33 @@ object ScaleFixture {
     (h >>> 11).toDouble / (1L << 53).toDouble
   }
 
+  /** ~20% of positions (deterministically placed per doc) are per-doc hapax
+    * tokens (12 hex chars of a splitmix64 stream — globally unique w.h.p.).
+    *
+    * Why: the r4 fixture drew every token from a shared vocabulary whose
+    * synthetic `tokNN` members had FNV-1a hashes agreeing on ~35 of 64 bits
+    * (2 trailing digit chars do not avalanche — measured |vocab vote| = 1.0
+    * on those bits), which COLLAPSED simhash: the driver measured 48k of 50k
+    * docs sharing ONE 16-bit combo key, so the 10× q_simhash_pairs point
+    * timed capped-out work (321k rows dropped). Two fixes, both needed:
+    * avalanched synthetic vocab words (see [[ensure]]) kill the
+    * vocabulary-mean bias, and the hapax mass adds ~len/5 independent ±1
+    * votes per bit per doc (real web text has exactly this Heaps'-law hapax
+    * tail). Hapax placement is pseudo-random, NOT periodic: a hapax at every
+    * 3rd position would put one inside EVERY word-trigram window and zero
+    * out cross-doc shingle sharing — at 20% i.i.d., ~51% of windows stay
+    * hapax-free, preserving the shared trigram mass the ngram/minhash
+    * queries block on. Near-dup plants are unaffected: they copy the
+    * predecessor's word array — including its hapax tokens — so planted
+    * Jaccard stays ≈ 0.79. */
   private def docWords(id: Long, vocab: Array[String]): Array[String] = {
     val len = 10 + draw(id, 0, 91)
-    Array.tabulate(len)(i => vocab(draw(id, 1 + i, vocab.length)))
+    Array.tabulate(len) { i =>
+      if (draw(id, 0x3000 + i, 5) == 0) {
+        val h = splitmix64(splitmix64(id) ^ (0x2000 + i).toLong)
+        "u" + java.lang.Long.toHexString(h >>> 16)
+      } else vocab(draw(id, 1 + i, vocab.length))
+    }
   }
 
   private def docText(id: Long, vocab: Array[String]): String =
@@ -96,16 +120,20 @@ object ScaleFixture {
     // a bare marker would silently reuse a fixture built from a different
     // base dir or an older generator, making cross-round bench ratios
     // incomparable without any visible signal
-    val signature = s"v1|$Factor|$Docs|$Vecs|$Events|$Dim|$Users|" +
+    val signature = s"v3|$Factor|$Docs|$Vecs|$Events|$Dim|$Users|" +
       s"${baseVocab.length}|${baseVocab.mkString(",").hashCode}"
     val ready = Paths.get(outDir, "_READY")
     if (Files.exists(ready) && Files.readString(ready).trim == signature)
       return outDir
     // vocab × Factor^(1/3): trigram space scales ×Factor, so matched-pair
-    // volume per doc stays ~constant as the corpus grows ×Factor
+    // volume per doc stays ~constant as the corpus grows ×Factor. Synthetic
+    // words are AVALANCHED (hex of a splitmix64 stream): sequential names
+    // like "tok27" share FNV-1a bits on ~35 of 64 positions (2 low-ASCII
+    // suffix chars don't avalanche), which made the whole vocabulary vote
+    // one simhash direction — see [[docWords]].
     val target = math.ceil(baseVocab.length * math.cbrt(Factor.toDouble)).toInt
     val extra = (0 until (target - baseVocab.length).max(0))
-      .map(i => f"tok${i}%02d")
+      .map(i => "w" + java.lang.Long.toHexString(splitmix64(0x5EEDL ^ i.toLong) >>> 24))
     val vocab = (baseVocab ++ extra).distinct.sorted
     val bcVocab = spark.sparkContext.broadcast(vocab)
 

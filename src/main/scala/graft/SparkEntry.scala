@@ -570,6 +570,59 @@ object SparkEntry {
     })
   )
 
+  // ---- 10× correctness queries (VERDICT r4 #3) -----------------------------
+  // The 10× fixture was TIMED ONLY through r4: a wrong answer that only
+  // manifests at scale (cap interactions, overflow, bucket-size effects) was
+  // invisible. These five queries have engine-portable deterministic
+  // semantics (no LSH-config caveats), so they carry full DuckDB oracles at
+  // the 10× point: Verify materializes the fixture at a per-sf path and the
+  // oracle SQL reads the SAME parquet files via read_parquet(), making the
+  // check self-consistent whatever sf dir the driver runs Verify at.
+
+  /** Per-sf fixture dir for the VERIFY-side 10× oracle queries (separate
+    * from Bench's SPARK_GRAFT_10X_DIR so a bench run can't swap the fixture
+    * out from under a pending correctness compare, and keyed by sf basename
+    * because the fixture vocabulary derives from the base corpus). */
+  def verifyScaleDir(sfDir: String): String =
+    "/tmp/graft-10x-verify-" + new java.io.File(sfDir).getName
+
+  private def at10x(name: String): (SparkSession, String) => DataFrame =
+    (s, dir) => queries(name)(s, ScaleFixture.ensure(s, dir, verifyScaleDir(dir)))
+
+  /** Oracle-checked queries over the 10× fixture — run by Verify alongside
+    * [[queries]]; the driver's DuckDB compare picks them up from
+    * oracle_sql.json like any other entry. */
+  def queries10x: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact_10x" -> at10x("q_dedup_exact"),
+    "q_token_stats_10x" -> at10x("q_token_stats"),
+    "q_sessionize_10x" -> at10x("q_sessionize"),
+    "q_sample_split_10x" -> at10x("q_sample_split"),
+    "q_stratified_10x" -> at10x("q_stratified"))
+
+  /** Rewrites a base-table oracle to read the 10× fixture parquet directly:
+    * prepends CTEs named after the tables (a CTE shadows any same-named
+    * view in DuckDB), so the SQL needs no re-registration driver-side. */
+  private def retargetSql(sql: String, fixtureDir: String,
+      tables: Seq[String]): String = {
+    val ctes = tables.map(t =>
+      s"$t AS (SELECT * FROM read_parquet('$fixtureDir/$t.parquet/*.parquet'))")
+      .mkString(", ")
+    if (sql.startsWith("WITH ")) "WITH " + ctes + ", " + sql.stripPrefix("WITH ")
+    else "WITH " + ctes + " " + sql
+  }
+
+  /** 10× oracle SQL — a function of the sf dir (the fixture path is per-sf);
+    * Verify dumps `oracleSql ++ oracleSql10x(sfDir)`. */
+  def oracleSql10x(sfDir: String): Map[String, String] = {
+    val d = verifyScaleDir(sfDir)
+    Map(
+      "q_dedup_exact_10x" -> retargetSql(oracleSqlBase("q_dedup_exact"), d, Seq("documents")),
+      "q_token_stats_10x" -> retargetSql(oracleSqlBase("q_token_stats"), d, Seq("documents")),
+      "q_sessionize_10x" -> retargetSql(oracleSqlBase("q_sessionize"), d, Seq("events")),
+      "q_sample_split_10x" -> retargetSql(oracleSqlBase("q_sample_split"), d, Seq("documents")),
+      "q_stratified_10x" -> retargetSql(oracleSqlBase("q_stratified"), d, Seq("documents")))
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("kg_incremental" -> oracleSqlBase("kg_edges")) +
     ("kg_streaming" -> oracleSqlBase("kg_edges")) +

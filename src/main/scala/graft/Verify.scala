@@ -19,7 +19,10 @@ object Verify {
     // vanished from the round's correctness report — record failures to a
     // marker file as well as stderr
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // base queries at sfDir + the 10× fixture queries (their oracle SQL
+    // reads the fixture parquet via read_parquet, so the compare is
+    // self-consistent at any sf)
+    (SparkEntry.queries ++ SparkEntry.queries10x).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,7 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ SparkEntry.oracleSql10x(sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

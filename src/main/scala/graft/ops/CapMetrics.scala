@@ -98,6 +98,23 @@ object CapMetrics {
   def seqOf(site: String): Long =
     Option(bySite.get(site)).map(_._1).getOrElse(0L)
 
+  /** Snapshot of every site's write sequence — pair with [[changedSince]]
+    * to attribute metrics to one execution window. */
+  def snapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    bySite.asScala.map { case (k, (s, _)) => k -> s }.toMap
+  }
+
+  /** Sites whose metrics advanced since `snap` (new sites included), with
+    * their latest values — e.g. the caps/candidate counters one bench query
+    * fired, excluding stale values from earlier queries. */
+  def changedSince(snap: Map[String, Long]): Map[String, Map[String, Long]] = {
+    import scala.jdk.CollectionConverters._
+    bySite.asScala.collect {
+      case (site, (s, vals)) if s > snap.getOrElse(site, 0L) => site -> vals
+    }.toMap
+  }
+
   /** Poll until `site` has metrics satisfying `p` or `timeoutMs` elapses. */
   def await(site: String, timeoutMs: Long = 10000L)(
       p: Map[String, Long] => Boolean): Boolean = {

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextStats}
+
+/** CLI for the training-data operator suite (the companion of [[Main]],
+  * which covers the KG pipeline): run any dedup / sampling / ANN /
+  * text-analysis / multimodal operator over a parquet table without writing
+  * Scala. Local: `scripts/run.sh DataMain --op OP --in DIR --out DIR [...]`;
+  * cluster: `spark-submit --class graft.DataMain` (submitted master wins).
+  *
+  * {{{
+  *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
+  *                     simhash-pairs | doc-groups | split | stratified |
+  *                     sessionize | token-stats | quality | lang-id |
+  *                     scrub | top-terms | fingerprint | knn | knn-lsh |
+  *                     knn-ivf | embed-neardup | media-meta |
+  *                     media-features | frame-sample          (required)
+  *   --in PATH         input parquet (documents / events / embeddings
+  *                     shape per op)                          (required)
+  *   --out PATH        output parquet dir                     (required)
+  *   --threshold T     jaccard (pair ops) / cosine (embed-neardup)
+  *                     [0.5 / 0.9]
+  *   --shingle-n N     word n-gram width                      [3]
+  *   --num-hashes N / --bands B / --max-bucket M   minhash    [32/8/10000]
+  *   --max-hamming H / --blocks B / --combo-size C simhash    [3/8/2]
+  *   --id-col C        split/stratified key column            [doc_id]
+  *   --train-pct / --val-pct                       split      [80/10]
+  *   --strata-col C    stratified strata column               [source]
+  *   --fractions a=0.9,b=0.5   per-stratum keep fractions
+  *   --default-fraction F                                     [0.2]
+  *   --gap-ms MS       sessionize gap                         [1800000]
+  *   --k N             top-k / top-terms size                 [10 / 3]
+  *   --tables / --bits           sign-LSH config              [8/10]
+  *   --n-lists / --n-probe / --kmeans-iters  IVF config       [64/8/5]
+  *   --queries PATH    ANN query parquet (query_id, q_embedding);
+  *                     default: every --query-every-th corpus vector
+  *   --query-every N                                          [50]
+  *   --every-ms MS     frame-sample cadence                   [10000]
+  *   --cores N         local master width     [8 / SPARK_GRAFT_CPUS]
+  * }}}
+  */
+object DataMain {
+
+  private def die(msg: String): Nothing = {
+    System.err.println(s"graft-data: $msg (see graft.DataMain scaladoc for usage)")
+    sys.exit(2)
+  }
+
+  /** Op dispatch, shared by main and the CLI==library spec. */
+  private[graft] def run(spark: SparkSession, op: String, in: String,
+      args: Map[String, String]): DataFrame = {
+    def f(k: String, d: Double): Double = args.get(k).map(_.toDouble).getOrElse(d)
+    def n(k: String, d: Int): Int = args.get(k).map(_.toInt).getOrElse(d)
+    def l(k: String, d: Long): Long = args.get(k).map(_.toLong).getOrElse(d)
+    def s(k: String, d: String): String = args.getOrElse(k, d)
+    lazy val df = spark.read.parquet(in)
+    lazy val annQueries = args.get("queries") match {
+      case Some(p) => spark.read.parquet(p)
+      case None => df.filter(pmod(col("vec_id"), lit(n("query-every", 50))) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    }
+    op match {
+      case "dedup-exact" => Dedup.exact(df)
+      case "minhash-pairs" => Dedup.minhashPairs(df, Dedup.MinHashConfig(
+        numHashes = n("num-hashes", 32), bands = n("bands", 8),
+        shingleN = n("shingle-n", 3), jaccardThreshold = f("threshold", 0.5),
+        maxBandBucket = n("max-bucket", 10000)))
+      case "ngram-pairs" =>
+        Dedup.ngramJaccardPairs(df, n("shingle-n", 3), f("threshold", 0.5))
+      case "simhash-pairs" => Dedup.simhashPairs(df, n("max-hamming", 3),
+        n("blocks", 8), n("combo-size", 2), n("max-bucket", 10000))
+      case "doc-groups" => Dedup.dedupGroups(
+        Dedup.ngramJaccardPairs(df, n("shingle-n", 3), f("threshold", 0.5)))
+      case "split" => Sampling.assignSplit(df, s("id-col", "doc_id"),
+        n("train-pct", 80), n("val-pct", 10))
+      case "stratified" =>
+        val fractions = args.get("fractions").map(_.split(",").map { kv =>
+          kv.split("=") match {
+            case Array(k, v) => k -> v.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"bad --fractions entry '$kv' (want name=frac)")
+          }
+        }.toMap).getOrElse(Map.empty[String, Double])
+        Sampling.stratifiedSample(df, s("strata-col", "source"),
+          s("id-col", "doc_id"), fractions, f("default-fraction", 0.2))
+      case "sessionize" => Sessionize.sessions(df, l("gap-ms", 1800000L))
+      case "token-stats" => TextStats.tokenStats(df)
+      case "quality" => TextStats.quality(df)
+      case "lang-id" => TextStats.langId(df)
+      case "scrub" => TextStats.scrub(df)
+      case "top-terms" => TextStats.topTerms(df, n("k", 3))
+      case "fingerprint" => df.select(col("doc_id"),
+        graft.functions.TextHash.fingerprint64(col("text")).as("fp"),
+        graft.functions.TextHash.simhash64(col("text")).as("sh"))
+      case "knn" => Similarity.bruteForceTopK(df, annQueries, n("k", 10))
+      case "knn-lsh" => Similarity.lshTopK(df, annQueries, n("k", 10),
+        Similarity.LshConfig(tables = n("tables", 8), bits = n("bits", 10)))
+      case "knn-ivf" => Similarity.ivfTopK(df, annQueries, n("k", 10),
+        Similarity.IvfConfig(nLists = n("n-lists", 64),
+          kmeansIters = n("kmeans-iters", 5), nProbe = n("n-probe", 8)))
+      case "embed-neardup" => Similarity.cosineNearDupPairs(df,
+        f("threshold", 0.9),
+        Similarity.LshConfig(tables = n("tables", 8), bits = n("bits", 10)))
+      case "media-meta" => Multimodal.mediaFromDocuments(df)
+        .select(col("media_id"), col("media_type"),
+          length(col("payload")).as("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
+      case "media-features" =>
+        Multimodal.extractFeatures(Multimodal.mediaFromDocuments(df)).toDF()
+      case "frame-sample" =>
+        Multimodal.frameSampleRows(Multimodal.mediaFromDocuments(df),
+          l("every-ms", 10000L))
+      // throws (not sys.exit): run() is also the embedded/test entry point —
+      // main translates the failure into exit code 2
+      case other => throw new IllegalArgumentException(s"unknown --op $other")
+    }
+  }
+
+  private[graft] val knownFlags = Set("op", "in", "out", "threshold",
+    "shingle-n", "num-hashes", "bands", "max-bucket", "max-hamming", "blocks",
+    "combo-size", "id-col", "train-pct", "val-pct", "strata-col", "fractions",
+    "default-fraction", "gap-ms", "k", "tables", "bits", "n-lists", "n-probe",
+    "kmeans-iters", "queries", "query-every", "every-ms", "cores")
+
+  def main(argv: Array[String]): Unit = {
+    // uniform --key value parsing (every DataMain flag takes a value)
+    if (argv.length % 2 != 0) die("flags come in --key value pairs")
+    val args = argv.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, _) => die(s"expected a --flag, got $k")
+    }.toMap
+    args.keys.find(!knownFlags.contains(_)).foreach(k => die(s"unknown flag --$k"))
+    val op = args.getOrElse("op", die("--op is required"))
+    val in = args.getOrElse("in", die("--in is required"))
+    val out = args.getOrElse("out", die("--out is required"))
+    val cores = args.getOrElse("cores", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val builder = SparkSession.builder().appName("megamindspark-data")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (!new org.apache.spark.SparkConf().contains("spark.master"))
+      builder.master(s"local[$cores]")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val result = try run(spark, op, in, args) catch {
+      case e: IllegalArgumentException => die(e.getMessage)
+    }
+    result.write.mode("overwrite").parquet(out)
+    val rows = spark.read.parquet(out).count()
+    println(s"[graft] $op: wrote $rows rows to $out")
+    if (!hadSession) spark.stop()
+  }
+}

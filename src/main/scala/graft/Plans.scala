@@ -138,16 +138,24 @@ object Plans {
       "inside WholeStageCodegen (native expression, no fallback)" ->
         (s => s.contains("WholeStageCodegen") || s.contains("*(")))
 
-    // --- PPJoin similarity join (query level): the verify stage over the
-    // eagerly-checkpointed candidate frame — keyed equi-joins only ---
-    audit("q_ngram_pairs", SparkEntry.queries("q_ngram_pairs")(spark, dir),
-      execute = true)(
-      "no cartesian/nested-loop product anywhere (blocked join only)" ->
-        (s => !s.contains("CartesianProduct") &&
-          !s.contains("BroadcastNestedLoopJoin")),
-      "verify joins keyed (SortMergeJoin or hash)" ->
-        (s => s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
-          s.contains("BroadcastHashJoin")))
+    // --- PPJoin similarity join: the verify stage over the eagerly-
+    // checkpointed candidate frame — keyed equi-joins only. Audited via the
+    // MANAGED variant: the plain ngramJaccardPairs now SEALS its result
+    // behind an output checkpoint (freeing the corpus-scale internals), so
+    // the query-level plan is just a checkpoint scan; the managed frame is
+    // the verify plan that actually executes. ---
+    {
+      val m = graft.ops.Dedup.ngramJaccardPairsManaged(
+        spark.read.parquet(s"$dir/documents.parquet"), shingleN = 3, minJaccard = 0.5)
+      audit("q_ngram_pairs", m.pairs, execute = true)(
+        "no cartesian/nested-loop product anywhere (blocked join only)" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")),
+        "verify joins keyed (SortMergeJoin or hash)" ->
+          (s => s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+            s.contains("BroadcastHashJoin")))
+      m.free()
+    }
 
     // --- PPJoin candidate PLAN, pre-checkpoint (candidatePairs executes it
     // eagerly and returns a checkpoint, so the audit builds it directly) ---

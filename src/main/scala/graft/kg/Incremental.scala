@@ -50,10 +50,17 @@ object Incremental {
     }
 
   private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // per-process tag: millis + a JVM-local counter alone collide when two
+  // PROCESSES append to the same dir in the same millisecond, and POSIX
+  // rename silently REPLACES the target — a dropped checkpoint row would be
+  // undetectable (resume would just re-run a bucket, but a dropped metrics
+  // row is simply lost)
+  private val procTag =
+    java.lang.Long.toHexString(java.util.UUID.randomUUID().getLeastSignificantBits)
   private def appendJsonFile(dir: String, json: String): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val name = s"r-${System.currentTimeMillis()}-${appendSeq.incrementAndGet()}"
+    val name = s"r-${System.currentTimeMillis()}-$procTag-${appendSeq.incrementAndGet()}"
     val tmp = d.resolve(s".$name.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, d.resolve(s"$name.json"),

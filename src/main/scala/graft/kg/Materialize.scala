@@ -44,12 +44,18 @@ import graft.model.Model._
   * live deltas (`snap-N;delta-a;delta-b`), flipped atomically (tmp +
   * ATOMIC_MOVE) — a crashed writer never corrupts the visible table.
   *
-  * SINGLE WRITER assumed: snapshot/delta ids are list-and-increment with no
-  * lock, so two jobs appending to one table concurrently can mint the same
-  * id and clobber each other. That is a property of this offline emulation
-  * only — the production path is Iceberg `MERGE INTO`, whose optimistic
-  * commit protocol serializes concurrent writers (keep the same call
-  * boundaries when swapping the backend in).
+  * CONCURRENT WRITERS: dir ids (`snap-N`/`delta-M`/`tomb-K`) are RESERVED
+  * with a create-exclusive `Files.createDirectory` (retry upward on
+  * collision), so two writers — threads or processes — can never clobber
+  * each other's data dirs; and every manifest read-modify-write runs under
+  * a per-table critical section (JVM lock + a create-exclusive `_LOCK`
+  * file for cross-process mutual exclusion, bounded wait then a LOUD
+  * failure naming the lock — never a silent lost update). The production
+  * path remains Iceberg `MERGE INTO`, whose optimistic commit protocol is
+  * the real multi-writer story (keep the same call boundaries when
+  * swapping the backend in); this guard makes the offline emulation safe
+  * for the multi-writer shapes the repo actually runs (concurrent
+  * edges/nodes jobs, a compaction racing an append).
   */
 object Materialize {
 
@@ -194,6 +200,89 @@ object Materialize {
     if (s.isEmpty) 0L else s.max + 1
   }
 
+  /** Reserve the next `kind-N` dir CREATE-EXCLUSIVELY: `createDirectory`
+    * throws if the dir exists, so two writers listing the same max id can
+    * never both claim `kind-N` — the loser retries upward. (Plain
+    * list-and-increment let two processes mint the same id and silently
+    * clobber each other's parquet files.)
+    *
+    * A sibling `.pending-<dir>` marker protects the reservation from a
+    * concurrent [[gc]] until the writer flips it into the manifest and
+    * [[commitReserved]] removes the marker (the marker sits OUTSIDE the dir
+    * because Spark's Overwrite write clears the dir's contents). A crashed
+    * writer's marker goes stale and stops protecting after
+    * [[PendingStaleMs]] — gc then reclaims both. */
+  private def reserveDir(table: String, kind: String): String = {
+    Files.createDirectories(Paths.get(table))
+    var id = nextId(table)
+    var made: String = null
+    while (made == null) {
+      try { Files.createDirectory(Paths.get(table, s"$kind-$id")); made = s"$kind-$id" }
+      catch { case _: java.nio.file.FileAlreadyExistsException => id += 1 }
+    }
+    Files.writeString(pendingMarker(table, made), "")
+    made
+  }
+
+  private[kg] val PendingStaleMs = 15L * 60 * 1000
+  private def pendingMarker(table: String, dirName: String): Path =
+    Paths.get(table, s".pending-$dirName")
+  private def commitReserved(table: String, dirNames: String*): Unit =
+    dirNames.foreach(n => Files.deleteIfExists(pendingMarker(table, n)))
+
+  /** Dir names under a live (non-stale) pending marker — reserved by an
+    * in-flight writer, invisible to the manifest, NOT garbage. */
+  private def pendingDirs(table: String): Set[String] = {
+    val dir = Paths.get(table)
+    if (!Files.exists(dir)) return Set.empty
+    val st = Files.list(dir)
+    val markers = try st.toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith(".pending-")).toSeq
+      finally st.close()
+    val now = System.currentTimeMillis()
+    markers.flatMap { p =>
+      val fresh = try
+        now - Files.getLastModifiedTime(p).toMillis < PendingStaleMs
+      catch { case _: java.io.IOException => false } // marker raced away
+      if (fresh) Some(p.getFileName.toString.stripPrefix(".pending-"))
+      else { Files.deleteIfExists(p); None } // stale: crashed writer — reclaim
+    }.toSet
+  }
+
+  // Per-table critical section for manifest read-modify-write: a JVM lock
+  // (same-process threads — the concurrent edges/nodes append shape) plus a
+  // create-exclusive _LOCK file (cross-process). Without it, two concurrent
+  // flips both read the old manifest and the second write silently DROPS the
+  // first writer's delta from the visible table. Bounded wait, loud failure:
+  // a writer that cannot acquire within ~2 min reports the lock path instead
+  // of proceeding unsafely (a crashed writer's stale _LOCK is named in the
+  // error for manual removal).
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withTableLock[T](table: String)(f: => T): T = {
+    val keyPathNorm = Paths.get(table).toAbsolutePath.normalize.toString
+    val jvm = tableLocks.computeIfAbsent(keyPathNorm, _ => new Object)
+    jvm.synchronized {
+      Files.createDirectories(Paths.get(table))
+      val lock = Paths.get(table, "_LOCK")
+      var tries = 0
+      var acquired = false
+      while (!acquired) {
+        try { Files.createFile(lock); acquired = true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            tries += 1
+            if (tries > 2400)
+              throw new IllegalStateException(
+                s"table $table locked by another writer for >2 min ($lock " +
+                "exists; if the owner crashed, delete the file to recover) — " +
+                "refusing to update the manifest concurrently")
+            Thread.sleep(50L)
+        }
+      }
+      try f finally Files.deleteIfExists(lock)
+    }
+  }
+
   private def flip(table: String, m: Manifest): Unit = {
     val tmp = Paths.get(table, "_CURRENT.tmp")
     Files.writeString(tmp, m.render)
@@ -218,12 +307,14 @@ object Materialize {
   def gc(table: String, retainSnapshots: Int = 2): Unit = {
     currentManifest(table).foreach { m =>
       val live = m.allDirs.toSet
+      val pending = pendingDirs(table) // in-flight reservations are NOT garbage
       val all = listTableDirs(table)
       def id(n: String): Long = n.split("-").last.toLong
       val keepBases = all.filter(_.startsWith("snap-"))
         .sortBy(id).takeRight(math.max(retainSnapshots, 1)).toSet
       val oldestKeptBase = keepBases.map(id).minOption.getOrElse(Long.MaxValue)
       all.filterNot(n => live.contains(n) || keepBases.contains(n) ||
+          pending.contains(n) ||
           ((n.startsWith("delta-") || n.startsWith("tomb-")) && id(n) > oldestKeptBase))
         .foreach(n => deleteDirRecursive(Paths.get(table, n)))
     }
@@ -238,17 +329,19 @@ object Materialize {
     * merged frame. */
   def mergeSnapshot(spark: SparkSession, table: String, staged: DataFrame,
       key: Seq[String], replace: Boolean = false,
-      retainSnapshots: Int = 2): DataFrame = {
-    Files.createDirectories(Paths.get(table))
+      retainSnapshots: Int = 2): DataFrame = withTableLock(table) {
+    // whole-op critical section: the rewrite reads the live table, so a
+    // concurrent append between read and flip would be silently folded out
     writeKey(table, key)
     val merged = readTable(spark, table) match {
       case Some(existing) if !replace =>
         existing.unionByName(staged).dropDuplicates(key)
       case _ => staged.dropDuplicates(key)
     }
-    val snapDir = s"snap-${nextId(table)}"
+    val snapDir = reserveDir(table, "snap")
     merged.write.mode(SaveMode.Overwrite).parquet(Paths.get(table, snapDir).toString)
     flip(table, Manifest(Some(snapDir), Nil))
+    commitReserved(table, snapDir)
     gc(table, retainSnapshots)
     spark.read.parquet(Paths.get(table, snapDir).toString)
   }
@@ -263,17 +356,22 @@ object Materialize {
       retainSnapshots: Int = 2, dedupStaged: Boolean = true): Unit = {
     Files.createDirectories(Paths.get(table))
     writeKey(table, key)
-    val deltaDir = s"delta-${nextId(table)}"
+    val deltaDir = reserveDir(table, "delta")
     // dedupStaged = false skips the in-batch dedup shuffle when the caller
     // guarantees the staged frame is already key-distinct (pipeline outputs
     // are — Materialize.edges/nodes end in a dedup/agg); merge-on-read
-    // would collapse any duplicates anyway, so this only trades write size
+    // would collapse any duplicates anyway, so this only trades write size.
+    // The (long) data write runs OUTSIDE the manifest lock — only the
+    // read-modify-write of _CURRENT is serialized.
     (if (dedupStaged) staged.dropDuplicates(key) else staged)
       .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString)
-    val m = currentManifest(table).getOrElse(Manifest(None, Nil))
-    flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs))
-    if (compactEvery > 0 && m.deltas.size + m.tombs.size + 1 >= compactEvery)
-      compact(spark, table, retainSnapshots)
+    val shouldCompact = withTableLock(table) {
+      val m = currentManifest(table).getOrElse(Manifest(None, Nil))
+      flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs))
+      commitReserved(table, deltaDir)
+      compactEvery > 0 && m.deltas.size + m.tombs.size + 1 >= compactEvery
+    }
+    if (shouldCompact) compact(spark, table, retainSnapshots)
   }
 
   /** Partial rewrite under ONE manifest flip: delete `deleteKeys` (key
@@ -289,28 +387,37 @@ object Materialize {
       retainSnapshots: Int = 2): Unit = {
     Files.createDirectories(Paths.get(table))
     writeKey(table, key)
-    val tombDir = s"tomb-${nextId(table)}"
+    // tomb reserved BEFORE delta: monotonic reservation keeps tomb id <
+    // delta id, preserving the insert-wins resolution for keys in both
+    val tombDir = reserveDir(table, "tomb")
     deleteKeys.select(key.map(col): _*).dropDuplicates(key)
       .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, tombDir).toString)
-    val deltaDir = s"delta-${nextId(table)}"
+    val deltaDir = reserveDir(table, "delta")
     upserts.dropDuplicates(key)
       .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString)
-    val m = currentManifest(table).getOrElse(Manifest(None, Nil))
-    flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs :+ tombDir))
-    if (compactEvery > 0 && m.deltas.size + m.tombs.size + 2 >= compactEvery)
-      compact(spark, table, retainSnapshots)
+    val shouldCompact = withTableLock(table) {
+      val m = currentManifest(table).getOrElse(Manifest(None, Nil))
+      flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs :+ tombDir))
+      commitReserved(table, tombDir, deltaDir)
+      compactEvery > 0 && m.deltas.size + m.tombs.size + 2 >= compactEvery
+    }
+    if (shouldCompact) compact(spark, table, retainSnapshots)
   }
 
   /** Fold base + deltas into a fresh base snapshot and GC. A no-op when
     * there are no deltas. */
-  def compact(spark: SparkSession, table: String, retainSnapshots: Int = 2): Unit = {
+  def compact(spark: SparkSession, table: String,
+      retainSnapshots: Int = 2): Unit = withTableLock(table) {
+    // whole-op critical section (like mergeSnapshot): the fold reads the
+    // manifest's dirs, so an append flipping in between would be lost
     currentManifest(table).foreach { m =>
       if (m.deltas.nonEmpty || m.tombs.nonEmpty) {
         val merged = readTable(spark, table).get
-        val snapDir = s"snap-${nextId(table)}"
+        val snapDir = reserveDir(table, "snap")
         merged.write.mode(SaveMode.Overwrite)
           .parquet(Paths.get(table, snapDir).toString)
         flip(table, Manifest(Some(snapDir), Nil))
+        commitReserved(table, snapDir)
         gc(table, retainSnapshots)
       }
     }

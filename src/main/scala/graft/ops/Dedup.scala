@@ -29,6 +29,24 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** A lazy pair frame plus the `free()` releasing the eager CORPUS-SCALE
+    * checkpoints backing it (capped signature/candidate frames). Call
+    * `free()` only after every frame derived from `pairs` is materialized —
+    * the advanced API for callers embedding the pair plan into a larger DAG
+    * (mirrors [[graft.kg.Link.fuzzySameAsManaged]]). The plain
+    * `minhashPairs`/`ngramJaccardPairs`/`simhashPairs` wrappers instead
+    * SEAL the result (eager checkpoint of the small verified pair set, then
+    * free the internals immediately), so looped callers — bench min-of-N
+    * reps, long-lived sessions — retain only O(pairs) block-manager state
+    * per call instead of one corpus-sized checkpoint per invocation. */
+  final case class ManagedPairs(pairs: DataFrame, free: () => Unit)
+
+  private def seal(m: ManagedPairs): DataFrame = {
+    val out = m.pairs.localCheckpoint(eager = true)
+    m.free()
+    out
+  }
+
   // ---- kernels ---------------------------------------------------------------
 
   /** Normalized word n-gram shingle set. */
@@ -126,7 +144,12 @@ object Dedup {
     * feeds both self-join sides) → equi-join on (band, band_hash) →
     * distinct candidate pairs (tiny) → join back to text → exact verify.
     */
-  def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+  def minhashPairs(docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    seal(minhashPairsManaged(docs, cfg))
+
+  /** [[minhashPairs]] as a [[ManagedPairs]] (lazy plan + explicit free). */
+  def minhashPairsManaged(docs: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): ManagedPairs = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -162,7 +185,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
-    verifyJaccard(docs, candidates, cfg.shingleN, cfg.jaccardThreshold)
+    ManagedPairs(verifyJaccard(docs, candidates, cfg.shingleN, cfg.jaccardThreshold),
+      () => { capped.unpersist(); () })
   }
 
   /** Re-spread a small candidate-id frame across the machine before the
@@ -187,15 +211,22 @@ object Dedup {
     * vocabulary — the length+positional filters are what keep a t=0.5
     * curation sweep sub-quadratic at corpus scale). */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5): DataFrame =
+    seal(ngramJaccardPairsManaged(docs, shingleN, minJaccard))
+
+  /** [[ngramJaccardPairs]] as a [[ManagedPairs]] (lazy plan + explicit
+    * free of the PPJoin candidate checkpoint). */
+  def ngramJaccardPairsManaged(docs: DataFrame, shingleN: Int = 3,
+      minJaccard: Double = 0.5): ManagedPairs = {
     require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard in (0,1]: $minJaccard")
     val shingleUdf = udf((text: String) =>
       wordShinglesKernel(if (text == null) "" else text, shingleN).toSeq)
     val items = docs.select(lit("_").as("grp"), col("doc_id").as("id"),
       shingleUdf(col("text")).as("toks"))
     val candidates = SimJoin.candidatePairs(items, minJaccard, "ngram")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    verifyJaccard(docs, candidates, shingleN, minJaccard)
+    val pairs = candidates.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    ManagedPairs(verifyJaccard(docs, pairs, shingleN, minJaccard),
+      () => { candidates.unpersist(); () })
   }
 
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd expression),
@@ -216,7 +247,12 @@ object Dedup {
     * (identical simhashes from exact dupes — run [[Dedup.exact]] first);
     * dropped rows are observed under CapMetrics site `dedup.simhash`. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 8,
-      comboSize: Int = 2, maxBucket: Int = 10000): DataFrame = {
+      comboSize: Int = 2, maxBucket: Int = 10000): DataFrame =
+    seal(simhashPairsManaged(docs, maxHamming, blocks, comboSize, maxBucket))
+
+  /** [[simhashPairs]] as a [[ManagedPairs]] (lazy plan + explicit free). */
+  def simhashPairsManaged(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 8,
+      comboSize: Int = 2, maxBucket: Int = 10000): ManagedPairs = {
     require(64 % blocks == 0 && blocks > maxHamming,
       s"need 64 % blocks == 0 and blocks > maxHamming; got blocks=$blocks maxHamming=$maxHamming")
     require(comboSize >= 1 && comboSize <= blocks - maxHamming,
@@ -251,12 +287,14 @@ object Dedup {
       col("combo_idx"), col("combo_key"))
     val b = capped.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"),
       col("combo_idx"), col("combo_key"))
-    a.join(b, Seq("combo_idx", "combo_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    ManagedPairs(
+      a.join(b, Seq("combo_idx", "combo_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming),
+      () => { capped.unpersist(); () })
   }
 
   /** Cluster near-dup pairs into groups (connected components) and pick one

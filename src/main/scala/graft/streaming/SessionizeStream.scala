@@ -26,8 +26,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    emitted session_idx, so the user's next post-idle session numbers
   *    `idx + 1` — identical to the batch sessionizer. (Removing state on
   *    timeout renumbers every post-idle session from 1 and emits
-  *    duplicate (user_id, session_idx) keys.) The marker never sets a
-  *    timeout, so it persists; state stays O(1) per user ever seen.
+  *    duplicate (user_id, session_idx) keys.)
+  *
+  * MEMORY BOUND: by default the closed-marker never expires, so state-store
+  * size is O(1) per user EVER SEEN — a few dozen bytes per user, fine for
+  * 10^8 users, a deliberate trade for exact numbering beyond that. For
+  * unbounded-cardinality key spaces set `markerTtlMs`: the marker re-arms
+  * an event-time timeout at `last + gap + ttl` and is EVICTED when it
+  * fires, accepting that a user returning after more than `ttl` of event
+  * time restarts session numbering from 1 (every emitted
+  * (user_id, session_idx, start_ts) row remains unique — only the ordinal
+  * resets, exactly like any retention-windowed sessionizer).
   */
 object SessionizeStream {
 
@@ -46,17 +55,31 @@ object SessionizeStream {
     Session(uid, st.session_idx, st.n_events,
       new Timestamp(st.start_ms), new Timestamp(st.last_ms))
 
-  /** The per-group fold — pure, shared by the stream and by tests. */
-  def updateGroup(gapMs: Long)(uid: Long, events: Iterator[Event],
+  /** The per-group fold — pure, shared by the stream and by tests.
+    * `markerTtlMs = Some(ttl)` bounds state: closed-markers are evicted
+    * once the watermark passes `last_ms + gapMs + ttl` (see scaladoc). */
+  def updateGroup(gapMs: Long, markerTtlMs: Option[Long] = None)(
+      uid: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (events.isEmpty && state.hasTimedOut) {
-      // watermark passed the open session's deadline: close and emit it,
-      // but KEEP the counter — replace state with the closed-marker so the
-      // user's next session numbers session_idx + 1 (batch parity). No
-      // timeout is set on the marker, so it persists without re-firing.
-      val open = state.getOption.filter(_.n_events > 0L)
-      open.foreach(s => state.update(s.copy(n_events = 0L)))
-      return open.map(toSession(uid, _)).iterator
+      state.getOption match {
+        case Some(s) if s.n_events > 0L =>
+          // watermark passed the open session's deadline: close and emit it,
+          // but KEEP the counter — replace state with the closed-marker so
+          // the user's next session numbers session_idx + 1 (batch parity).
+          // Without a TTL no timeout is set on the marker, so it persists
+          // without re-firing; with one, the marker itself times out below.
+          state.update(s.copy(n_events = 0L))
+          markerTtlMs.foreach(ttl => state.setTimeoutTimestamp(s.last_ms + gapMs + ttl))
+          return Iterator.single(toSession(uid, s))
+        case Some(_) =>
+          // closed-marker TTL expired: evict (renumbering after the
+          // retention window is the documented trade)
+          state.remove()
+          return Iterator.empty
+        case None =>
+          return Iterator.empty
+      }
     }
     val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
     val closed = Vector.newBuilder[Session]
@@ -88,10 +111,12 @@ object SessionizeStream {
   }
 
   /** File-source stream over `inputDir` (parquet event rows) → appended
-    * closed-session rows. `watermarkDelay` e.g. "10 minutes". */
+    * closed-session rows. `watermarkDelay` e.g. "10 minutes";
+    * `markerTtlMs` bounds state for unbounded key spaces (see scaladoc). */
   def sessions(spark: SparkSession, inputDir: String, gapMs: Long,
       watermarkDelay: String = "10 minutes",
-      maxFilesPerTrigger: Option[Int] = None): Dataset[Session] = {
+      maxFilesPerTrigger: Option[Int] = None,
+      markerTtlMs: Option[Long] = None): Dataset[Session] = {
     import spark.implicits._
     val reader = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Event].schema)
@@ -101,6 +126,6 @@ object SessionizeStream {
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        updateGroup(gapMs))
+        updateGroup(gapMs, markerTtlMs))
   }
 }

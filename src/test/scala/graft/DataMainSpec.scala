@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.DataMain is the CLI promise for the training-data operator suite
+  * ("run dedup/split/ANN/text-stats on MY parquet table") — every op must
+  * equal the library call it wraps. Driven in-process: DataMain joins the
+  * live test session and must not stop it. */
+class DataMainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cli(args: String*): String = {
+    val out = Files.createTempDirectory("graft-datamain").toString + "/out"
+    DataMain.main((args ++ Seq("--out", out)).toArray)
+    assert(!spark.sparkContext.isStopped) // session survived
+    out
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.selectExpr(s"concat_ws('|', ${cols.map(c => s"coalesce(cast(`$c` as string), '')").mkString(", ")})")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  private def assertCliEqualsLibrary(outDir: String,
+      lib: org.apache.spark.sql.DataFrame): Unit = {
+    val got = spark.read.parquet(outDir)
+    assert(got.columns.sorted.sameElements(lib.columns.sorted))
+    assert(rows(got) == rows(lib))
+  }
+
+  test("dedup-exact CLI == Dedup.exact") {
+    val out = cli("--op", "dedup-exact", "--in", s"$sf/documents.parquet")
+    assertCliEqualsLibrary(out,
+      graft.ops.Dedup.exact(spark.read.parquet(s"$sf/documents.parquet")))
+  }
+
+  test("ngram-pairs CLI == Dedup.ngramJaccardPairs (threshold flag honored)") {
+    val out = cli("--op", "ngram-pairs", "--in", s"$sf/documents.parquet",
+      "--threshold", "0.5")
+    assertCliEqualsLibrary(out, graft.ops.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), 3, 0.5))
+  }
+
+  test("doc-groups CLI == dedupGroups(ngramJaccardPairs)") {
+    val out = cli("--op", "doc-groups", "--in", s"$sf/documents.parquet")
+    assertCliEqualsLibrary(out, graft.ops.Dedup.dedupGroups(
+      graft.ops.Dedup.ngramJaccardPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), 3, 0.5)))
+  }
+
+  test("split + stratified CLI == Sampling (fraction map parsed)") {
+    val out = cli("--op", "split", "--in", s"$sf/documents.parquet",
+      "--train-pct", "70", "--val-pct", "20")
+    assertCliEqualsLibrary(out, graft.ops.Sampling.assignSplit(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", 70, 20))
+
+    val out2 = cli("--op", "stratified", "--in", s"$sf/documents.parquet",
+      "--strata-col", "source", "--fractions", "src0=0.9,src1=0.5",
+      "--default-fraction", "0.2")
+    assertCliEqualsLibrary(out2, graft.ops.Sampling.stratifiedSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "source", "doc_id",
+      Map("src0" -> 0.9, "src1" -> 0.5), 0.2))
+  }
+
+  test("sessionize CLI == Sessionize.sessions (gap flag honored)") {
+    val out = cli("--op", "sessionize", "--in", s"$sf/events.parquet",
+      "--gap-ms", "600000")
+    assertCliEqualsLibrary(out, graft.ops.Sessionize.sessions(
+      spark.read.parquet(s"$sf/events.parquet"), 600000L))
+  }
+
+  test("knn CLI (default query derivation) == bruteForceTopK") {
+    import org.apache.spark.sql.functions._
+    val out = cli("--op", "knn", "--in", s"$sf/embeddings.parquet", "--k", "5")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    assertCliEqualsLibrary(out, graft.ops.Similarity.bruteForceTopK(emb, q, 5))
+  }
+
+  test("token-stats and fingerprint CLI == TextStats/TextHash") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assertCliEqualsLibrary(
+      cli("--op", "token-stats", "--in", s"$sf/documents.parquet"),
+      graft.ops.TextStats.tokenStats(docs))
+    import org.apache.spark.sql.functions.col
+    assertCliEqualsLibrary(
+      cli("--op", "fingerprint", "--in", s"$sf/documents.parquet"),
+      docs.select(col("doc_id"),
+        graft.functions.TextHash.fingerprint64(col("text")).as("fp"),
+        graft.functions.TextHash.simhash64(col("text")).as("sh")))
+  }
+
+  test("unknown op and malformed fractions fail loudly, not silently") {
+    val e = intercept[IllegalArgumentException] {
+      DataMain.run(spark, "no-such-op", s"$sf/documents.parquet", Map.empty)
+    }
+    assert(e.getMessage.contains("no-such-op"))
+    val e2 = intercept[IllegalArgumentException] {
+      DataMain.run(spark, "stratified", s"$sf/documents.parquet",
+        Map("fractions" -> "oops"))
+    }
+    assert(e2.getMessage.contains("oops"))
+  }
+}

@@ -162,6 +162,42 @@ class MaterializeSpec extends AnyFunSuite {
     assert(bDone.get)
   }
 
+  test("concurrent appendDelta writers lose no delta (exclusive ids + manifest lock)") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    // 8 concurrent appends to ONE table: before the r5 guard, the
+    // list-and-increment id mint could clobber a data dir and the unlocked
+    // manifest read-modify-write could drop a sibling's delta from _CURRENT
+    val threads = (0 until 8).map { i =>
+      new Thread(() => Materialize.appendDelta(spark, table,
+        Seq((s"k$i", i.toLong)).toDF("k", "v"), Seq("k"), compactEvery = 0))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val got = Materialize.readTable(spark, table).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == (0 until 8).map(i => (s"k$i", i.toLong)).toSet)
+    val m = Materialize.currentManifest(table).get
+    assert(m.deltas.size == 8 && m.deltas.distinct.size == 8)
+    // lock file released
+    assert(!Files.exists(java.nio.file.Paths.get(table, "_LOCK")))
+  }
+
+  test("concurrent appendDelta with auto-compaction converges to the full row set") {
+    import spark.implicits._
+    val table = freshDir() + "/t"
+    val threads = (0 until 6).map { i =>
+      new Thread(() => Materialize.appendDelta(spark, table,
+        Seq((s"c$i", i.toLong)).toDF("k", "v"), Seq("k"), compactEvery = 2))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    Materialize.compact(spark, table)
+    val got = Materialize.readTable(spark, table).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == (0 until 6).map(i => (s"c$i", i.toLong)).toSet)
+  }
+
   test("mixed appendDelta + mergeSnapshot keeps one consistent table") {
     import spark.implicits._
     val table = freshDir() + "/t"

@@ -129,6 +129,47 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(st.v.exists(s => s.session_idx == 4 && s.n_events == 1L))
   }
 
+  test("closed-marker TTL re-arms a timeout and evicts the marker when it fires") {
+    final class Stub extends org.apache.spark.sql.streaming.GroupState[SessionizeStream.SessionState] {
+      var v: Option[SessionizeStream.SessionState] = None
+      var timedOut = false
+      var lastTimeoutTs: Long = -1L
+      override def exists: Boolean = v.isDefined
+      override def get: SessionizeStream.SessionState = v.get
+      override def getOption: Option[SessionizeStream.SessionState] = v
+      override def update(s: SessionizeStream.SessionState): Unit = v = Some(s)
+      override def remove(): Unit = v = None
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = lastTimeoutTs = t
+      override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val ttl = 100000L
+    val st = new Stub
+    st.v = Some(SessionizeStream.SessionState(2, 1000L, 2000L, 4L))
+    st.timedOut = true
+    // session close: emits, leaves the marker ARMED at last + gap + ttl
+    val e1 = SessionizeStream.updateGroup(GAP, Some(ttl))(9L, Iterator.empty, st).toList
+    assert(e1.map(s => (s.session_idx, s.n_events)) == List((2, 4L)))
+    assert(st.v.exists(s => s.session_idx == 2 && s.n_events == 0L))
+    assert(st.lastTimeoutTs == 2000L + GAP + ttl)
+    // the marker's own timeout fires: evicted, nothing emitted — state is
+    // bounded by ttl of event time for users never seen again
+    val e2 = SessionizeStream.updateGroup(GAP, Some(ttl))(9L, Iterator.empty, st).toList
+    assert(e2.isEmpty && st.v.isEmpty)
+    // default (no TTL): marker persists and arms NO timeout (r4 behavior)
+    val st2 = new Stub
+    st2.v = Some(SessionizeStream.SessionState(1, 1000L, 2000L, 3L))
+    st2.timedOut = true
+    SessionizeStream.updateGroup(GAP)(9L, Iterator.empty, st2).toList
+    assert(st2.v.exists(_.n_events == 0L) && st2.lastTimeoutTs == -1L)
+  }
+
   test("updateGroup fold is order-insensitive within an invocation") {
     val events = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 120), ev(4, 7, 125))
     // a GroupState stub: enough for the pure fold

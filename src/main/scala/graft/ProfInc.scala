@@ -80,6 +80,8 @@ object ProfInc {
         graft.kg.Link.Config(fuzzy = false))
     }
     time("awaitTermination") { q.awaitTermination(600000) }
+    q.recentProgress.foreach(p => println(s"[prof-stream] batch ${p.batchId}: " +
+      s"rows=${p.numInputRows} durationMs=${p.durationMs}"))
     time("stream readTable+orderBy+noop") {
       graft.kg.Materialize.readTable(spark, s"$base/out/edges").get
         .orderBy(graft.kg.Materialize.edgeKey.map(org.apache.spark.sql.functions.col): _*)

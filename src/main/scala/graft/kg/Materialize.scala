@@ -151,7 +151,12 @@ object Materialize {
       if (m.tombs.isEmpty) {
         val frames = m.dirs.map(d => spark.read.parquet(Paths.get(table, d).toString))
         val all = frames.reduce(_ unionByName _)
-        if (m.deltas.isEmpty) all
+        // single-dir tables need no merge: a lone base is deduplicated by
+        // construction, and a lone delta is key-distinct by the appendDelta
+        // contract (dedupStaged or caller-guaranteed) — skipping the
+        // dropDuplicates saves a full shuffle on the hot single-batch
+        // streaming read path
+        if (m.dirs.size <= 1) all
         else all.dropDuplicates(readKey(table))
       } else {
         def dirId(n: String): Long = n.split("-").last.toLong

@@ -53,7 +53,9 @@ object StreamingIngest {
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Model.Turn], batchId: Long) =>
+        val t0 = System.nanoTime()
         val r = Pipeline.run(batch, dict, linkCfg)
+        val t1 = System.nanoTime()
         // delta append per micro-batch: O(batch) bytes, periodic compaction
         // (every 8 batches) instead of a full-table rewrite per batch. The
         // two stores are independent — concurrent write jobs, BOTH awaited
@@ -69,6 +71,8 @@ object StreamingIngest {
         // free per-micro-batch pipeline caches — a long-lived stream would
         // otherwise accumulate one raw-triple persist per batch
         r.close()
+        log.info(s"[graft] stream batch $batchId: pipeline " +
+          f"${(t1 - t0) / 1e9}%.2f s, merge ${(System.nanoTime() - t1) / 1e9}%.2f s")
         // watch-triggered resolution: the delta resolver touches only the
         // entities recent micro-batches added (O(delta) discovery +
         // O(affected) rewrite), so running it in-stream is bounded work

@@ -289,6 +289,10 @@ object Incremental {
       sum(when(col("is_new"), 1L).otherwise(0L))).head()
     val total = counts.getLong(0)
     val touched = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    // phase boundary timestamps → per-phase _metrics rows: the flat-vs-
+    // growing decomposition (O(delta) discovery vs O(total) merge-on-read
+    // scan) must be readable from the artifact, not re-derived by hand
+    val tScan = System.currentTimeMillis()
     log.info(s"[graft] resolver: $touched of $total entities touched since " +
       s"last resolve (${if (oldKeys.isEmpty) "full rediscovery" else "delta"})")
 
@@ -315,6 +319,7 @@ object Incremental {
         col("entity_type").as("rw_et"), col("component").as("new_name"))
       .localCheckpoint(eager = true)
     val nRewrites = rewrite.count()
+    val tDiscover = System.currentTimeMillis()
     // rewrite is materialized — free the discovery's internal checkpoints
     // so a resolver LOOP (per-micro-batch resolveEvery) stays O(1) in
     // block-manager state instead of one candidate frame per pass
@@ -359,21 +364,48 @@ object Incremental {
       affectedEdges.unpersist()
       affectedNodes.unpersist()
     }
+    val tRewrite = System.currentTimeMillis()
 
     // record the new watermark: post-rewrite eligible key set + config sig
-    // (read fresh so merged-away names are gone and component reps present)
+    // (read fresh so merged-away names are gone and component reps present).
+    // Removing merged-away names is LOAD-BEARING: a name resolved away in
+    // pass k can reappear in pass k+2 — it must count as NEW again so its
+    // merge is rediscovered; a stale "seen" row would silently skip it.
+    //
+    // The UPDATE is delta-shaped (added keys as a delta, removed keys as an
+    // equality-delete tombstone): the replace-snapshot form rewrote the
+    // ENTIRE key set every pass — measured 1.8M key rows written per
+    // trigger at the 10M-turn rehearsal, an O(total) write that would
+    // dominate per-trigger cost at corpus scale. Computing added/removed is
+    // two anti-joins (linear COMPUTE is unavoidable — the node table must
+    // be scanned anyway); the WRITE is O(changed). Full snapshot only on
+    // the first resolve or a config change (watermark rebuilt from
+    // scratch).
     Files.createDirectories(Paths.get(resolveDir(outDir)))
     val after = Materialize.readTable(spark, s"$outDir/nodes").get
       .filter(col("entity_type").isin(cfg.fuzzyTypes: _*))
       .select(col("entity_type"), col("name").as("dict_key")).distinct()
-    Materialize.mergeSnapshot(spark, resolvedKeysTable(outDir), after,
-      Seq("entity_type", "dict_key"), replace = true)
+    val wmKey = Seq("entity_type", "dict_key")
+    oldKeys match {
+      case Some(old) =>
+        val added = after.join(old.select(wmKey.map(col): _*), wmKey, "left_anti")
+        val removed = old.select(wmKey.map(col): _*).join(after, wmKey, "left_anti")
+        Materialize.appendRewrite(spark, resolvedKeysTable(outDir),
+          added, removed, wmKey)
+      case None =>
+        Materialize.mergeSnapshot(spark, resolvedKeysTable(outDir), after,
+          wmKey, replace = true)
+    }
     Files.writeString(resolveCfgPath(outDir), sig)
 
     appendMetrics(spark, outDir, Seq(
       ("resolve", "resolve", -1, "touched_entities", touched),
       ("resolve", "resolve", -1, "total_entities", total),
       ("resolve", "resolve", -1, "rewritten_entities", nRewrites),
+      ("resolve", "resolve", -1, "scan_ms", tScan - t0),
+      ("resolve", "resolve", -1, "discover_ms", tDiscover - tScan),
+      ("resolve", "resolve", -1, "rewrite_ms", tRewrite - tDiscover),
+      ("resolve", "resolve", -1, "watermark_ms", System.currentTimeMillis() - tRewrite),
       ("resolve", "resolve", -1, "elapsed_ms", System.currentTimeMillis() - t0)))
     rewrite.unpersist()
     flagged.unpersist()

@@ -54,7 +54,17 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Model.Turn], batchId: Long) =>
         val t0 = System.nanoTime()
-        val r = Pipeline.run(batch, dict, linkCfg)
+        // a file-source micro-batch inherits the FILE COUNT as its partition
+        // count (maxFilesPerTrigger=1 -> a 1-partition batch), which would
+        // serialize the extraction shuffle's map side (parquet decode + hash
+        // + shuffle write) on one core no matter the cluster size. Spread
+        // narrow batches to the session's parallelism first — the extra
+        // shuffle forwards raw rows (cheap) and no-ops on wide batches.
+        val parallelism = batch.sparkSession.sparkContext.defaultParallelism
+        val spread =
+          if (batch.rdd.getNumPartitions * 2 < parallelism) batch.repartition(parallelism)
+          else batch
+        val r = Pipeline.run(spread, dict, linkCfg)
         val t1 = System.nanoTime()
         // delta append per micro-batch: O(batch) bytes, periodic compaction
         // (every 8 batches) instead of a full-table rewrite per batch. The

@@ -136,7 +136,10 @@ object ResolverBench {
     val q = graft.streaming.StreamingIngest.start(spark, inDir, outDir,
       s"$base/ck", graft.kg.Pipeline.emptyDict(spark),
       graft.kg.Link.Config(fuzzy = false),
-      resolveEvery = 1, resolveCfg = resolveCfg, maxFilesPerTrigger = Some(1))
+      resolveEvery = 1, resolveCfg = resolveCfg, maxFilesPerTrigger = Some(1),
+      // SPARK_GRAFT_SIGIDX=1 backs discovery with the persisted
+      // band-signature index (per-trigger banding CPU O(delta))
+      resolveSigIndex = sys.env.get("SPARK_GRAFT_SIGIDX").contains("1"))
     q.awaitTermination(3600000)
     q.exception.foreach { e =>
       System.err.println(s"[resolver-bench] STREAM FAILED: ${e.getMessage}")
@@ -171,7 +174,8 @@ object ResolverBench {
           s"${kv.getOrElse("discover_ms", -1L)} | " +
           s"${kv.getOrElse("rewrite_ms", -1L)} | " +
           s"${kv.getOrElse("watermark_ms", -1L)} | " +
-          s"${kv.getOrElse("elapsed_ms", -1L)}")
+          s"${kv.getOrElse("elapsed_ms", -1L)}" +
+          kv.get("sig_banded_keys").map(n => s" | banded=$n").getOrElse(""))
       }
     }
 

@@ -146,8 +146,11 @@ object SigIndex {
       observed.filter($"bucket_n" > cfg.maxBandBucket)
         .select($"entity_type", $"band", $"band_hash"))
     // the oversized list is structurally ≤ rows/maxBandBucket long; hint
-    // broadcast only when measured small (an explicit hint is never demoted)
-    val overSmall = over.count() <= 4000000L
+    // broadcast only when measured small (an explicit hint is never demoted).
+    // 1.5M (entity_type, band, hash) rows ≈ the ~180 MB broadcast relation
+    // Link.Config's registry gates document as the measured comfort point —
+    // beyond that, let the anti-join shuffle rather than risk executor OOM
+    val overSmall = over.count() <= 1500000L
     def capped(df: DataFrame): DataFrame =
       df.join(if (overSmall) broadcast(over) else over,
         Seq("entity_type", "band", "band_hash"), "left_anti")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextStats}
+import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarity, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -13,7 +13,8 @@ import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextStats
   *
   * {{{
   *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
-  *                     simhash-pairs | doc-groups | split | stratified |
+  *                     simhash-pairs | doc-groups | dedup-delta |
+  *                     neardup-delta | split | stratified |
   *                     sessionize | token-stats | quality | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | embed-neardup | media-meta |
@@ -23,6 +24,8 @@ import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextStats
   *   --out PATH        output parquet dir                     (required)
   *   --threshold T     jaccard (pair ops) / cosine (embed-neardup)
   *                     [0.5 / 0.9]
+  *   --corpus PATH     accumulated-corpus parquet (delta ops; --in is
+  *                     the NEW batch)                         (required)
   *   --shingle-n N     word n-gram width                      [3]
   *   --num-hashes N / --bands B / --max-bucket M   minhash    [32/8/10000]
   *   --max-hamming H / --blocks B / --combo-size C simhash    [3/8/2]
@@ -70,6 +73,16 @@ object DataMain {
         maxBandBucket = n("max-bucket", 10000)))
       case "ngram-pairs" =>
         Dedup.ngramJaccardPairs(df, n("shingle-n", 3), f("threshold", 0.5))
+      case "dedup-delta" => DeltaDedup.exactClassify(df,
+        spark.read.parquet(args.getOrElse("corpus",
+          throw new IllegalArgumentException("--corpus is required for dedup-delta"))))
+      case "neardup-delta" => DeltaDedup.minhashPairsDelta(df,
+        spark.read.parquet(args.getOrElse("corpus",
+          throw new IllegalArgumentException("--corpus is required for neardup-delta"))),
+        Dedup.MinHashConfig(
+          numHashes = n("num-hashes", 32), bands = n("bands", 8),
+          shingleN = n("shingle-n", 3), jaccardThreshold = f("threshold", 0.5),
+          maxBandBucket = n("max-bucket", 10000)))
       case "simhash-pairs" => Dedup.simhashPairs(df, n("max-hamming", 3),
         n("blocks", 8), n("combo-size", 2), n("max-bucket", 10000))
       case "doc-groups" => Dedup.dedupGroups(
@@ -119,7 +132,7 @@ object DataMain {
     }
   }
 
-  private[graft] val knownFlags = Set("op", "in", "out", "threshold",
+  private[graft] val knownFlags = Set("op", "in", "out", "corpus", "threshold",
     "shingle-n", "num-hashes", "bands", "max-bucket", "max-hamming", "blocks",
     "combo-size", "id-col", "train-pct", "val-pct", "strata-col", "fractions",
     "default-fraction", "gap-ms", "k", "tables", "bits", "n-lists", "n-probe",

@@ -333,6 +333,28 @@ object SparkEntry {
           graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // incremental-ingest dedup: batch (doc_id % 10 = 0) classified against
+    // the accumulated corpus (the rest) by content hash — the exact layer
+    // of the delta-dedup pipeline; old docs are never re-paired
+    "q_dedup_delta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.DeltaDedup.exactClassify(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+    // near-dup layer of the same split: LSH recall on this fixture is 1.0
+    // (same argument as q_minhash_pairs — every true pair sits above 0.65)
+    // and verification is exact, so the output IS the >= 0.5 pair set
+    // restricted to pairs with at least one batch side
+    "q_neardup_delta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.DeltaDedup.minhashPairsDelta(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // prefix-filter exact similarity join: recall 1.0 by construction, so
     // the same brute-force oracle applies with no probabilistic caveat
     "q_ngram_pairs" -> ((s, dir) => {
@@ -1112,6 +1134,30 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 7
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_pairs" -> jaccardPairsSql,
+    // delta dedup: batch = doc_id % 10 = 0, corpus = the rest
+    "q_dedup_delta" ->
+      """WITH batch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+        |), corp AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+        |), firsts AS (
+        |  SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h
+        |)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.h IS NOT NULL THEN 'corpus'
+        |       WHEN b.doc_id > f.first_id THEN 'batch'
+        |       ELSE 'unique' END AS dup_kind
+        |FROM batch b LEFT JOIN corp c ON b.h = c.h JOIN firsts f ON b.h = f.h
+        |ORDER BY b.doc_id""".stripMargin,
+    // the >= 0.5 pair set restricted to pairs touching the batch slice —
+    // the stateless delta op must equal the full op filtered to new-involved
+    "q_neardup_delta" ->
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+         |FROM pairs
+         |WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+         |  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_doc_groups" -> docGroupsSql,
     // split_cell = pmod(SIGNED fnv-1a of the decimal id string, 100),
     // mirrored in HUGEINT arithmetic (signed fold, then pmod)

@@ -80,7 +80,7 @@ object Dedup {
 
   /** Shared exact-Jaccard verify: join candidates to per-doc SORTED shingle
     * arrays (built once per doc per side) and merge-scan each pair. */
-  private def verifyJaccard(docs: DataFrame, candidates: DataFrame,
+  private[ops] def verifyJaccard(docs: DataFrame, candidates: DataFrame,
       shingleN: Int, threshold: Double): DataFrame = {
     val sortedShingles = udf((text: String) =>
       wordShinglesKernel(if (text == null) "" else text, shingleN).toSeq.sorted)

@@ -96,6 +96,30 @@ class DataMainSpec extends AnyFunSuite {
         graft.functions.TextHash.simhash64(col("text")).as("sh")))
   }
 
+  test("dedup-delta / neardup-delta CLI == DeltaDedup (corpus flag wired)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = Files.createTempDirectory("graft-delta-in").toString
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0).write.parquet(s"$base/batch")
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).write.parquet(s"$base/corpus")
+    val batch = spark.read.parquet(s"$base/batch")
+    val corpus = spark.read.parquet(s"$base/corpus")
+
+    assertCliEqualsLibrary(
+      cli("--op", "dedup-delta", "--in", s"$base/batch", "--corpus", s"$base/corpus"),
+      graft.ops.DeltaDedup.exactClassify(batch, corpus))
+    assertCliEqualsLibrary(
+      cli("--op", "neardup-delta", "--in", s"$base/batch",
+        "--corpus", s"$base/corpus", "--threshold", "0.5"),
+      graft.ops.DeltaDedup.minhashPairsDelta(batch, corpus,
+        graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5)))
+    // a delta op without --corpus must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      DataMain.run(spark, "dedup-delta", s"$base/batch", Map.empty)
+    }
+    assert(e.getMessage.contains("--corpus"))
+  }
+
   test("unknown op and malformed fractions fail loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       DataMain.run(spark, "no-such-op", s"$sf/documents.parquet", Map.empty)

@@ -196,6 +196,35 @@ object Plans {
         (s => s.toLowerCase.contains("fingerprint64") &&
           (s.contains("WholeStageCodegen") || s.contains("*("))))
 
+    // --- delta dedup: the corpus side must collapse to distinct hashes
+    // BEFORE the join (partial agg — the shuffle carries one row per
+    // distinct text, never per doc), and every join is keyed ---
+    audit("q_dedup_delta", SparkEntry.queries("q_dedup_delta")(spark, dir),
+      execute = true)(
+      "corpus hashes deduped via hash aggregate (map-side partial)" ->
+        (s => s.contains("HashAggregate") && s.contains("partial")),
+      "no cartesian/nested-loop product (hash-keyed joins only)" ->
+        (s => !s.contains("CartesianProduct")))
+
+    // --- delta near-dup (managed variant — the plain op seals its result
+    // behind a checkpoint): batch-only probe side, blocked equi-join,
+    // keyed verify ---
+    {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val m = graft.ops.DeltaDedup.minhashPairsDeltaManaged(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        graft.ops.Dedup.MinHashConfig(jaccardThreshold = 0.5))
+      audit("q_neardup_delta", m.pairs, execute = true)(
+        "no cartesian/nested-loop product (band-bucket equi-join only)" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")),
+        "verify joins keyed (SortMergeJoin or hash)" ->
+          (s => s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+            s.contains("BroadcastHashJoin")))
+      m.free()
+    }
+
     // --- embedding near-dup: first-collision dedup means NO distinct
     // aggregate between the bucket join and the verify joins ---
     audit("q_embed_neardup", SparkEntry.queries("q_embed_neardup")(spark, dir),

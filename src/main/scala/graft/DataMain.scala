@@ -17,7 +17,8 @@ import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarit
   *                     neardup-delta | split | stratified |
   *                     sessionize | token-stats | quality | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
-  *                     knn-ivf | embed-neardup | media-meta |
+  *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
+  *                     embed-neardup | media-meta |
   *                     media-features | frame-sample          (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
@@ -38,6 +39,11 @@ import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarit
   *   --k N             top-k / top-terms size                 [10 / 3]
   *   --tables / --bits           sign-LSH config              [8/10]
   *   --n-lists / --n-probe / --kmeans-iters  IVF config       [64/8/5]
+  *   --index PATH      persisted IVF index dir (ivf-build writes it,
+  *                     ivf-append adds NEW vectors O(delta) against the
+  *                     frozen quantizer, knn-ivf-indexed queries it)
+  *   --max-append-frac F   appended/trained cap before a rebuild is
+  *                     required (centroid drift guard)         [1.0]
   *   --queries PATH    ANN query parquet (query_id, q_embedding);
   *                     default: every --query-every-th corpus vector
   *   --query-every N                                          [50]
@@ -114,6 +120,22 @@ object DataMain {
       case "knn-ivf" => Similarity.ivfTopK(df, annQueries, n("k", 10),
         Similarity.IvfConfig(nLists = n("n-lists", 64),
           kmeansIters = n("kmeans-iters", 5), nProbe = n("n-probe", 8)))
+      case "ivf-build" | "ivf-append" | "knn-ivf-indexed" =>
+        val idx = args.getOrElse("index", throw new IllegalArgumentException(
+          s"--index is required for $op"))
+        val cfg = Similarity.IvfConfig(nLists = n("n-lists", 64),
+          kmeansIters = n("kmeans-iters", 5), nProbe = n("n-probe", 8))
+        op match {
+          case "ivf-build" => Similarity.buildIvfIndex(df, cfg, idx)
+          case "ivf-append" =>
+            Similarity.appendIvfIndex(df, cfg, idx, f("max-append-frac", 1.0))
+          case _ => // read-only
+        }
+        if (op == "knn-ivf-indexed")
+          Similarity.ivfTopKIndexed(df, annQueries, n("k", 10), cfg, idx)
+        else // list occupancy summary — the useful artifact of a build/append
+          spark.read.parquet(s"$idx/assignments.parquet")
+            .groupBy(col("lst")).agg(count(lit(1)).as("n_vectors"))
       case "embed-neardup" => Similarity.cosineNearDupPairs(df,
         f("threshold", 0.9),
         Similarity.LshConfig(tables = n("tables", 8), bits = n("bits", 10)))
@@ -136,7 +158,8 @@ object DataMain {
     "shingle-n", "num-hashes", "bands", "max-bucket", "max-hamming", "blocks",
     "combo-size", "id-col", "train-pct", "val-pct", "strata-col", "fractions",
     "default-fraction", "gap-ms", "k", "tables", "bits", "n-lists", "n-probe",
-    "kmeans-iters", "queries", "query-every", "every-ms", "cores")
+    "kmeans-iters", "queries", "query-every", "every-ms", "cores",
+    "index", "max-append-frac")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -414,6 +414,29 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // persisted-index read path + O(delta) APPEND path under the same
+    // brute-force oracle: the quantizer trains on 2/3 of the vectors, the
+    // remaining 1/3 is appendIvfIndex'ed against the FROZEN centroids, and
+    // nProbe = nLists makes the search exhaustive — so the output is the
+    // exact top-k REGARDLESS of which subset trained the centroids (what
+    // the oracle pins is the index bookkeeping: assignment append, xor
+    // fingerprint advance, meta guard). Partial-probe append recall is the
+    // SimilaritySpec sbt gate.
+    "q_knn_ivf_append" -> ((s, dir) => {
+      val cfg = graft.ops.Similarity.IvfConfig(nLists = 16, kmeansIters = 3,
+        nProbe = 16)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+      graft.ops.Similarity.buildIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), cfg, idx)
+      graft.ops.Similarity.appendIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0), cfg, idx)
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Similarity.ivfTopKIndexed(emb, queries, 10, cfg, idx)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // same near-exhaustive fixture blocking (see q_knn_lsh): candidates
     // cover every >= 0.30 pair, exact-cosine verify makes the output the
     // EXACT pair set, recomputable by DuckDB list_cosine_similarity
@@ -664,6 +687,7 @@ object SparkEntry {
     ("kg_streaming" -> oracleSqlBase("kg_edges")) +
     ("q_knn_lsh" -> oracleSqlBase("q_knn")) + // fixture blocking is exhaustive
     ("q_knn_ivf" -> oracleSqlBase("q_knn")) + // nProbe = nLists => exhaustive
+    ("q_knn_ivf_append" -> oracleSqlBase("q_knn")) + // exhaustive probe again
     ("q_ngram_pairs" -> oracleSqlBase("q_minhash_pairs")) // both = exact >= 0.5 set
 
   /** FNV-1a 64 over ASCII chars in DuckDB HUGEINT arithmetic — mirrors

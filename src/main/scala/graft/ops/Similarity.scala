@@ -329,15 +329,85 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     corpus.select(col("vec_id"), listUdf(col("embedding")).as("lst"))
       .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
-    java.nio.file.Files.writeString(ivfMetaPath(dir), ivfMeta(fp, n, cfg))
+    java.nio.file.Files.writeString(ivfMetaPath(dir), ivfMeta(fp, n, n, cfg))
   }
 
-  // one canonical rendering, written by build and compared WHOLE by the
-  // indexed reader — a substring check would prefix-match numbers (nLists=6
-  // "validates" against 64) and skip fields entirely
-  private def ivfMeta(fp: Long, n: Long, cfg: IvfConfig): String =
-    s"""{"fingerprint":$fp,"count":$n,"nLists":${cfg.nLists},""" +
-    s""""kmeansIters":${cfg.kmeansIters}}""" + "\n"
+  // one canonical rendering, written by build/append and compared WHOLE by
+  // the indexed reader — a substring check would prefix-match numbers
+  // (nLists=6 "validates" against 64) and skip fields entirely. `trained`
+  // is the size of the corpus the quantizer was TRAINED on (fixed across
+  // appends); `count` advances with every append.
+  private def ivfMeta(fp: Long, n: Long, trained: Long, cfg: IvfConfig): String =
+    s"""{"fingerprint":$fp,"count":$n,"trained":$trained,""" +
+    s""""nLists":${cfg.nLists},"kmeansIters":${cfg.kmeansIters}}""" + "\n"
+
+  // strict full-string parse of the canonical rendering (anchored — a
+  // meta with extra/missing fields parses to None and fails validation)
+  private val IvfMetaRe =
+    ("""\{"fingerprint":(-?\d+),"count":(\d+),"trained":(\d+),""" +
+      """"nLists":(\d+),"kmeansIters":(\d+)\}\n?""").r
+  private def parseIvfMeta(meta: String): Option[(Long, Long, Long, Int, Int)] =
+    meta match {
+      case IvfMetaRe(fp, n, t, l, k) =>
+        Some((fp.toLong, n.toLong, t.toLong, l.toInt, k.toInt))
+      case _ => None
+    }
+
+  /** O(delta) index maintenance: assign ONLY `newVecs` to the FROZEN
+    * trained centroids (FAISS `IndexIVF.add` semantics — the quantizer is
+    * NOT retrained) and append their assignment rows; `_META.json` advances
+    * by the batch's xor/count (the fingerprint is an order-independent xor,
+    * so fpNew = fpOld ^ fpBatch — no rescan of the old corpus). Costs: one
+    * id-only semi-join against the stored assignments (the duplicate-id
+    * guard — duplicate vec_ids would fan out the read join) plus O(batch)
+    * assignment compute and write.
+    *
+    * Recall degrades as the appended distribution drifts from the trained
+    * one, so `maxAppendFrac` bounds total appended rows at
+    * `maxAppendFrac × trained` and throws past it — rebuild with
+    * [[buildIvfIndex]]. With `nProbe = nLists` the search is exhaustive and
+    * exact regardless of drift (the q_knn_ivf_append oracle path).
+    *
+    * Crash posture: assignment rows are appended BEFORE the meta rewrite,
+    * so a failure in between leaves a meta whose fingerprint no longer
+    * matches the corpus — [[ivfTopKIndexed]] throws and the index is
+    * rebuilt, never silently wrong. Single-writer, like [[buildIvfIndex]]. */
+  def appendIvfIndex(newVecs: DataFrame, cfg: IvfConfig, dir: String,
+      maxAppendFrac: Double = 1.0): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val meta = java.nio.file.Files.readString(ivfMetaPath(dir))
+    val (fpOld, nOld, trained) = parseIvfMeta(meta) match {
+      case Some((fp, n, t, l, k)) =>
+        require(l == cfg.nLists && k == cfg.kmeansIters,
+          s"IVF index at $dir was built under nLists=$l/kmeansIters=$k, " +
+            s"append requested ${cfg.nLists}/${cfg.kmeansIters} — rebuild")
+        (fp, n, t)
+      case None =>
+        throw new IllegalArgumentException(
+          s"unparseable IVF meta at $dir: ${meta.trim} — rebuild with buildIvfIndex")
+    }
+    val (fpB, nB) = corpusFingerprint(newVecs)
+    if (nB == 0L) return
+    require(nOld + nB - trained <= (maxAppendFrac * trained).toLong,
+      s"IVF index at $dir would hold ${nOld + nB - trained} appended rows " +
+        s"over a quantizer trained on $trained (cap ${maxAppendFrac} x " +
+        "trained) — centroid drift; rebuild with buildIvfIndex")
+    val dup = spark.read.parquet(s"$dir/assignments.parquet")
+      .join(newVecs.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    require(dup == 0L,
+      s"$dup vec_ids in the append batch already exist in the IVF index at " +
+        s"$dir — appends must be id-disjoint (duplicates would fan out the " +
+        "read-side assignment join)")
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    newVecs.select(col("vec_id"), listUdf(col("embedding")).as("lst"))
+      .write.mode("append").parquet(s"$dir/assignments.parquet")
+    java.nio.file.Files.writeString(ivfMetaPath(dir),
+      ivfMeta(fpOld ^ fpB, nOld + nB, trained, cfg))
+  }
 
   /** IVF top-k against a prebuilt [[buildIvfIndex]] index: ZERO training
     * scans — centroids load to the driver (nLists × dim), assignments join
@@ -354,10 +424,14 @@ object Similarity {
     // whole-string compare against the canonical rendering: every field
     // (fingerprint, count, nLists, kmeansIters) must match exactly —
     // kmeansIters changes the centroids, so a mismatched config would
-    // silently serve different neighbors than ivfTopK with the same cfg
-    require(meta == ivfMeta(fp, n, cfg),
+    // silently serve different neighbors than ivfTopK with the same cfg.
+    // `trained` is the one field the reader cannot re-derive (it is index
+    // history, not corpus state), so it is taken from the stored meta —
+    // and the compare still pins every byte around it.
+    val trained = parseIvfMeta(meta).map(_._3).getOrElse(-1L)
+    require(meta == ivfMeta(fp, n, trained, cfg),
       s"IVF index at $dir does not match this corpus/config " +
-        s"(stored ${meta.trim}, expected ${ivfMeta(fp, n, cfg).trim}) — " +
+        s"(stored ${meta.trim}, expected ${ivfMeta(fp, n, trained, cfg).trim}) — " +
         "rebuild with buildIvfIndex")
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)

@@ -120,6 +120,34 @@ class DataMainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--corpus"))
   }
 
+  test("ivf-build / ivf-append / knn-ivf-indexed CLI == Similarity index calls") {
+    import org.apache.spark.sql.functions._
+    val emb = s"$sf/embeddings.parquet"
+    val idx = Files.createTempDirectory("graft-datamain-ivf").toString + "/idx"
+    val cfg = graft.ops.Similarity.IvfConfig(nLists = 8, kmeansIters = 2, nProbe = 8)
+
+    // build on 2/3 of the vectors, append the remaining 1/3 O(delta)
+    val full = spark.read.parquet(emb)
+    val trainDir = Files.createTempDirectory("graft-datamain-ivf").toString + "/train"
+    val batchDir = Files.createTempDirectory("graft-datamain-ivf").toString + "/batch"
+    full.filter(pmod(col("vec_id"), lit(3)) =!= 0).write.parquet(trainDir)
+    full.filter(pmod(col("vec_id"), lit(3)) === 0).write.parquet(batchDir)
+    val built = cli("--op", "ivf-build", "--in", trainDir, "--index", idx,
+      "--n-lists", "8", "--kmeans-iters", "2")
+    cli("--op", "ivf-append", "--in", batchDir, "--index", idx,
+      "--n-lists", "8", "--kmeans-iters", "2")
+    // occupancy summary covers every vector exactly once
+    assert(spark.read.parquet(built).agg(sum(col("n_vectors"))).head().getLong(0)
+      < full.count()) // build summary predates the append
+    // indexed query over the appended index == library call on the same index
+    val out = cli("--op", "knn-ivf-indexed", "--in", emb, "--index", idx,
+      "--n-lists", "8", "--kmeans-iters", "2", "--n-probe", "8", "--k", "5")
+    assertCliEqualsLibrary(out, graft.ops.Similarity.ivfTopKIndexed(
+      full, full.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding")),
+      5, cfg, idx))
+  }
+
   test("unknown op and malformed fractions fail loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       DataMain.run(spark, "no-such-op", s"$sf/documents.parquet", Map.empty)

@@ -439,6 +439,75 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index append: frozen-quantizer add, batch-composition invariant, guards") {
+    import org.apache.spark.sql.functions._
+    val k = 5
+    val cfg = Similarity.IvfConfig(nLists = 6, kmeansIters = 3, nProbe = 6)
+    // range split: the trained 40 vectors cover all three clusters (train
+    // on id%3 instead and the quantizer never SEES cluster 2 — appended
+    // unseen-mode vectors scatter and partial-probe recall craters to
+    // ~0.73, the drift failure maxAppendFrac exists to bound)
+    val trainSet = corpus.filter(col("vec_id") < 40) // 40 vecs
+    val batch1 = corpus.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+    val batch2 = corpus.filter(col("vec_id") >= 50)
+
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-ivf-app1").toString
+    Similarity.buildIvfIndex(trainSet, cfg, dir1)
+    Similarity.appendIvfIndex(batch1, cfg, dir1)
+    Similarity.appendIvfIndex(batch2, cfg, dir1)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-app2").toString
+    Similarity.buildIvfIndex(trainSet, cfg, dir2)
+    Similarity.appendIvfIndex(batch1.union(batch2), cfg, dir2)
+
+    // appends and indexed reads never retrain the quantizer
+    val runsBefore = Similarity.kmeansRuns.get()
+    val got1 = Similarity.ivfTopKIndexed(corpus, queries, k, cfg, dir1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got2 = Similarity.ivfTopKIndexed(corpus, queries, k, cfg, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(Similarity.kmeansRuns.get() == runsBefore)
+    // one append of two batches == two appends of one batch each
+    assert(got1 == got2 && got1.nonEmpty)
+    // nProbe = nLists probes every list: exact top-k REGARDLESS of the
+    // quantizer having trained on only 2/3 of the corpus
+    val bf = Similarity.bruteForceTopK(corpus, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(got1 == bf)
+    // partial probe over the appended index still routes well when the
+    // appended vectors come from the trained distribution
+    val partial = Similarity.ivfTopKIndexed(corpus, queries, k,
+      cfg.copy(nProbe = 2), dir1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfPairs = bf.map(t => (t._1, t._2))
+    val recall = bfPairs.intersect(partial).size.toDouble / bfPairs.size
+    info(f"appended-index partial-probe recall: $recall%.3f")
+    assert(recall >= 0.8)
+
+    // guards: the PRE-append corpus no longer matches the advanced meta
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(trainSet, queries, k, cfg, dir1)
+    }
+    // re-appending already-indexed ids must throw (id-disjoint contract)
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(batch1, cfg, dir1)
+    }
+    // config mismatch on append must throw, not assign with wrong centroids
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(batch1, cfg.copy(kmeansIters = 5), dir2)
+    }
+    // drift cap: 10 appended rows over a 40-row quantizer at frac 0.1 (=4)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-ivf-app3").toString
+    Similarity.buildIvfIndex(trainSet, cfg, dir3)
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(batch1, cfg, dir3, maxAppendFrac = 0.1)
+    }
+    // empty append is a no-op: the unmodified index still serves trainSet
+    Similarity.appendIvfIndex(batch1.limit(0), cfg, dir3)
+    val trainQ = Similarity.ivfTopKIndexed(trainSet, queries, k, cfg, dir3)
+    assert(trainQ.count() > 0)
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Similarity.cosineNearDupPairs(corpus, 0.95,
       Similarity.LshConfig(tables = 8, bits = 4)).collect()

@@ -14,7 +14,7 @@ import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarit
   * {{{
   *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
   *                     simhash-pairs | doc-groups | dedup-delta |
-  *                     neardup-delta | split | stratified |
+  *                     neardup-delta | dedup-ingest | split | stratified |
   *                     sessionize | token-stats | quality | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
@@ -27,6 +27,12 @@ import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarit
   *                     [0.5 / 0.9]
   *   --corpus PATH     accumulated-corpus parquet (delta ops; --in is
   *                     the NEW batch)                         (required)
+  *   --state DIR       persisted dedup state dir (dedup-ingest: --in is
+  *                     the new batch, folded into the state)  (required)
+  *   --partner-texts PATH   corpus (doc_id, text) lookup for exact pair
+  *                     verification (dedup-ingest)
+  *   --emit WHAT       dedup-ingest output: classified | candidates |
+  *                     verified                               [classified]
   *   --shingle-n N     word n-gram width                      [3]
   *   --num-hashes N / --bands B / --max-bucket M   minhash    [32/8/10000]
   *   --max-hamming H / --blocks B / --combo-size C simhash    [3/8/2]
@@ -89,6 +95,23 @@ object DataMain {
           numHashes = n("num-hashes", 32), bands = n("bands", 8),
           shingleN = n("shingle-n", 3), jaccardThreshold = f("threshold", 0.5),
           maxBandBucket = n("max-bucket", 10000)))
+      case "dedup-ingest" =>
+        val state = args.getOrElse("state", throw new IllegalArgumentException(
+          "--state is required for dedup-ingest"))
+        val r = DeltaDedup.ingest(spark, state, df,
+          Dedup.MinHashConfig(
+            numHashes = n("num-hashes", 32), bands = n("bands", 8),
+            shingleN = n("shingle-n", 3), jaccardThreshold = f("threshold", 0.5),
+            maxBandBucket = n("max-bucket", 10000)),
+          partnerTexts = args.get("partner-texts").map(spark.read.parquet(_)))
+        s("emit", "classified") match {
+          case "classified" => r.classified
+          case "candidates" => r.candidates
+          case "verified" => r.verified.getOrElse(throw new IllegalArgumentException(
+            "--emit verified needs --partner-texts (corpus doc_id,text lookup)"))
+          case other => throw new IllegalArgumentException(
+            s"--emit must be classified|candidates|verified, got $other")
+        }
       case "simhash-pairs" => Dedup.simhashPairs(df, n("max-hamming", 3),
         n("blocks", 8), n("combo-size", 2), n("max-bucket", 10000))
       case "doc-groups" => Dedup.dedupGroups(
@@ -159,7 +182,7 @@ object DataMain {
     "combo-size", "id-col", "train-pct", "val-pct", "strata-col", "fractions",
     "default-fraction", "gap-ms", "k", "tables", "bits", "n-lists", "n-probe",
     "kmeans-iters", "queries", "query-every", "every-ms", "cores",
-    "index", "max-append-frac")
+    "index", "max-append-frac", "state", "partner-texts", "emit")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -362,6 +362,18 @@ object SparkEntry {
           shingleN = 3, minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // triangle enumeration over the near-dup pair graph (graph analytics
+    // composing with the dedup output): the pair set is the EXACT >= 0.5
+    // jaccard set, so the oracle re-derives it in SQL and closes wedges
+    // with the same two equi-joins
+    "q_triangles" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+          s.read.parquet(s"$dir/documents.parquet"), shingleN = 3, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.kg.Graph.triangles(pairs)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("c").as("doc_c"))
+        .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+    }),
     // blocks=8/comboSize=1 (the ham<=7 bound forces single-slice keys here);
     // recall 1.0 by pigeonhole + exact hamming verify => output is EXACTLY
     // the hamming<=7 pair set, which the DuckDB oracle recomputes from text
@@ -749,6 +761,17 @@ object SparkEntry {
        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
        |FROM pairs WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q_triangles: close wedges over the exact >= 0.5 pair set with the
+    * same two equi-joins the Spark op runs (canonical a < b < c). */
+  private val trianglesSql: String =
+    s"""WITH $jaccardCtes, e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+       |)
+       |SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+       |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |ORDER BY doc_a, doc_b, doc_c""".stripMargin
 
   /** q_doc_groups: connected components over the exact pair set via a
     * recursive-CTE transitive closure; representative = numeric min. */
@@ -1158,6 +1181,7 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 7
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_pairs" -> jaccardPairsSql,
+    "q_triangles" -> trianglesSql,
     // delta dedup: batch = doc_id % 10 = 0, corpus = the rest
     "q_dedup_delta" ->
       """WITH batch AS (

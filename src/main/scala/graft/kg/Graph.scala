@@ -74,4 +74,28 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle enumeration over an UNDIRECTED canonical edge list (`a` <
+    * `b`, one row per edge — the shape the dedup pair ops emit). Returns
+    * every (a, b, c) with a < b < c and all three edges present.
+    *
+    * Plan shape: two hash/sort-merge EQUI-joins — wedges (a<b, b<c) closed
+    * by probing the edge set for (a, c). The canonical ordering is the
+    * classic enumeration guard: each triangle is emitted exactly once, and
+    * each wedge is generated only at its middle-ranked vertex, so a
+    * degree-d node generates O(d_lo × d_hi) wedges rather than O(d²) —
+    * for skew-heavy graphs re-rank ids by degree first (cheapest id =
+    * lowest degree) to tighten that bound; the id order used here keeps
+    * the output a pure function of the input for the DuckDB oracle. No
+    * cartesian, no driver-side state; candidates never exceed the wedge
+    * count (Σ d_lo·d_hi), the same budget any distributed triangle count
+    * (e.g. Cohen's MapReduce construction) pays. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a"), col("b")).distinct()
+    // wedges a<b<c sharing middle vertex b… join on (a,c) closes them
+    e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
 }

@@ -120,6 +120,40 @@ class DataMainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--corpus"))
   }
 
+  test("dedup-ingest CLI == DeltaDedup.ingest (state folded across batches)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = Files.createTempDirectory("graft-ingest-in").toString
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$base/b0")
+    // batch 2: the odd docs PLUS re-submissions of 20 batch-1 texts under
+    // fresh ids (the fixture has no exact dups of its own) — these must
+    // come back classified 'corpus'
+    docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(2)) === 0).limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .write.parquet(s"$base/b1")
+
+    // CLI drives one state dir, the library the other, same batch order
+    val cliState = s"$base/state-cli"
+    val libState = s"$base/state-lib"
+    cli("--op", "dedup-ingest", "--in", s"$base/b0", "--state", cliState)
+    val out1 = cli("--op", "dedup-ingest", "--in", s"$base/b1",
+      "--state", cliState, "--emit", "classified")
+    graft.ops.DeltaDedup.ingest(spark, libState, spark.read.parquet(s"$base/b0"))
+    val lib1 = graft.ops.DeltaDedup.ingest(spark, libState,
+      spark.read.parquet(s"$base/b1"))
+    assertCliEqualsLibrary(out1, lib1.classified)
+    // batch-2 classifications must SEE batch-1 state (some 'corpus' rows)
+    assert(spark.read.parquet(out1)
+      .filter(col("dup_kind") === "corpus").count() > 0)
+    // --emit verified without --partner-texts fails loudly
+    val e = intercept[IllegalArgumentException] {
+      DataMain.run(spark, "dedup-ingest", s"$base/b1",
+        Map("state" -> s"$base/state-x", "emit" -> "verified"))
+    }
+    assert(e.getMessage.contains("--partner-texts"))
+  }
+
   test("ivf-build / ivf-append / knn-ivf-indexed CLI == Similarity index calls") {
     import org.apache.spark.sql.functions._
     val emb = s"$sf/embeddings.parquet"

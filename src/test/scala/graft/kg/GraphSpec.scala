@@ -76,4 +76,16 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(ranks.sum - 1.0) < 1e-9)
     assert(ranks.forall(r => r > 0.0 && r < 1.0))
   }
+
+  test("triangles: each emitted once in canonical order; wedges without closure stay out") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles), a pendant wedge 4-5, 4-6 (open), and
+    // a duplicate edge row that must not double-count
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (1L, 2L)).toDF("a", "b")
+    val got = Graph.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
 }

@@ -225,6 +225,17 @@ object Plans {
       m.free()
     }
 
+    // --- triangle enumeration: wedge-close via keyed equi-joins only —
+    // a cartesian or nested-loop anywhere means the canonical-order
+    // blocking failed and the plan is enumerating O(V^2) pairs ---
+    audit("q_triangles", SparkEntry.queries("q_triangles")(spark, dir),
+      execute = true)(
+      "no cartesian/nested-loop product (wedge equi-joins only)" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "closure probe is a semi-join (no triangle-row materialization before filter)" ->
+        (s => s.contains("LeftSemi")))
+
     // --- embedding near-dup: first-collision dedup means NO distinct
     // aggregate between the bucket join and the verify joins ---
     audit("q_embed_neardup", SparkEntry.queries("q_embed_neardup")(spark, dir),

@@ -116,7 +116,7 @@ object Incremental {
         col("stage") === "pipeline")
       .select("partition_key").collect().map(_.getInt(0)).toSet
 
-  private def appendCheckpoint(spark: SparkSession, outDir: String, cp: Checkpoint): Unit =
+  private[graft] def appendCheckpoint(spark: SparkSession, outDir: String, cp: Checkpoint): Unit =
     appendJsonFile(cpPath(outDir),
       s"""{"run_id":"${jsonEscape(cp.run_id)}","stage":"${jsonEscape(cp.stage)}",""" +
       s""""partition_key":${cp.partition_key},"status":"${jsonEscape(cp.status)}",""" +

@@ -160,7 +160,12 @@ object DeltaDedup {
     * existing corpus must be re-signed either way).
     *
     * Batch doc ids must be new (never ingested) — ids key both state
-    * tables and the pair outputs. */
+    * tables and the pair outputs. The one exception is REPLAYING the same
+    * batch (a crashed streaming micro-batch, a retried job): that is
+    * idempotent by construction — novel-hash appends no-op, signature
+    * appends key-dedup on read, and classification treats a stored hash
+    * whose `keep_doc_id` is inside the batch as this batch's own fold, not
+    * corpus ([[graft.streaming.DedupStream]] leans on this). */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
       cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
       partnerTexts: Option[DataFrame] = None): IngestResult = {
@@ -185,10 +190,21 @@ object DeltaDedup {
     val firsts = b.groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("first_id"))
     val classified = {
+      // a stored hash counts as 'corpus' only if it was INTRODUCED by a
+      // doc outside this batch (keep_doc_id not among the batch ids) —
+      // this makes re-ingesting the SAME batch idempotent: a crash between
+      // the hash fold and the output write replays to identical
+      // classifications instead of downgrading the batch's own docs to
+      // 'corpus' dups of themselves (which would silently DROP first
+      // occurrences downstream)
       val withCorpus = stored match {
         case Some(h) => b.join(
-          h.select(col("text_md5")).withColumn("in_corpus", lit(1)),
-          Seq("text_md5"), "left")
+          h.select(col("text_md5"), col("keep_doc_id")), Seq("text_md5"), "left")
+          .join(b.select(col("doc_id").as("keep_doc_id"))
+            .withColumn("keep_in_batch", lit(1)).distinct(),
+            Seq("keep_doc_id"), "left")
+          .withColumn("in_corpus",
+            when(col("keep_doc_id").isNotNull && col("keep_in_batch").isNull, 1))
         case None => b.withColumn("in_corpus", lit(null).cast("int"))
       }
       withCorpus.join(firsts, Seq("text_md5"))

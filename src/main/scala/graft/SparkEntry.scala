@@ -202,6 +202,25 @@ object SparkEntry {
         .select(col("node"), col("rank").cast("float").as("rank"))
         .orderBy(col("node"))
     }),
+    // bounded BFS (general traversal; kg_two_hop is its k=2 special case):
+    // everything within 2 hops of region R0 over the reversed entity graph
+    // — hop 1 = its nations, hop 2 = their customers+suppliers. The oracle
+    // unrolls the same two frontier joins.
+    "q_khop" -> ((s, dir) => {
+      import s.implicits._
+      val rn = s.read.parquet(s"$dir/nation.parquet")
+        .select(concat(lit("R"), col("n_regionkey")).as("src"),
+          concat(lit("N"), col("n_nationkey")).as("dst"))
+      val nc = s.read.parquet(s"$dir/customer.parquet")
+        .select(concat(lit("N"), col("c_nationkey")).as("src"),
+          concat(lit("C"), col("c_custkey")).as("dst"))
+      val ns = s.read.parquet(s"$dir/supplier.parquet")
+        .select(concat(lit("N"), col("s_nationkey")).as("src"),
+          concat(lit("S"), col("s_suppkey")).as("dst"))
+      graft.kg.Graph.kHop(rn.unionByName(nc).unionByName(ns),
+          Seq("R0").toDF("node"), k = 2)
+        .orderBy(col("min_hops"), col("node"))
+    }),
     // skew-safe two-phase aggregation (S9): (key, salt) partials then final
     // combine — must equal the plain GROUP BY the oracle runs
     "q_salted_agg" -> ((s, dir) => {
@@ -773,6 +792,26 @@ object SparkEntry {
        |FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
        |ORDER BY doc_a, doc_b, doc_c""".stripMargin
 
+  /** q_khop: the same two frontier expansions, unrolled (hop 2 excludes
+    * hop-1 nodes and the seed — min_hops semantics). */
+  private val kHopSql: String =
+    """WITH e AS (
+      |  SELECT 'R' || n_regionkey AS src, 'N' || n_nationkey AS dst FROM nation
+      |  UNION ALL SELECT 'N' || c_nationkey, 'C' || c_custkey FROM customer
+      |  UNION ALL SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier
+      |), h1 AS (
+      |  SELECT DISTINCT dst AS node FROM e WHERE src = 'R0'
+      |), h2 AS (
+      |  SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+      |  WHERE e.dst <> 'R0' AND e.dst NOT IN (SELECT node FROM h1)
+      |)
+      |SELECT node, min_hops FROM (
+      |  SELECT 'R0' AS node, 0 AS min_hops
+      |  UNION ALL SELECT node, 1 FROM h1
+      |  UNION ALL SELECT node, 2 FROM h2
+      |)
+      |ORDER BY min_hops, node""".stripMargin
+
   /** q_doc_groups: connected components over the exact pair set via a
     * recursive-CTE transitive closure; representative = numeric min. */
   private val docGroupsSql: String =
@@ -1182,6 +1221,7 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_pairs" -> jaccardPairsSql,
     "q_triangles" -> trianglesSql,
+    "q_khop" -> kHopSql,
     // delta dedup: batch = doc_id % 10 = 0, corpus = the rest
     "q_dedup_delta" ->
       """WITH batch AS (

@@ -75,6 +75,40 @@ object Graph {
     ranks
   }
 
+  /** Bounded-depth BFS from `seeds` over a DIRECTED edge list: every node
+    * reachable within `k` hops, with its hop distance (`min_hops`, seeds
+    * at 0). One keyed join + anti-join per hop — the frontier and visited
+    * sets stay distributed (no driver collect); lineage is truncated per
+    * hop (localCheckpoint) so depth never builds a k-deep plan; the loop
+    * exits early when a frontier empties (one O(1) isEmpty probe per hop).
+    * This is the general traversal the 2-hop query specializes: ego
+    * networks, reachability cones, provenance closures over the KG's
+    * (subj_guid, obj_guid) edges. */
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("min_hops", lit(0)).localCheckpoint(eager = true)
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    var drained = false
+    while (hop < k && !drained) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("min_hops", lit(hop))
+        .localCheckpoint(eager = true)
+      drained = next.isEmpty
+      val grown = visited.unionByName(next).localCheckpoint(eager = true)
+      visited.unpersist()
+      visited = grown
+      frontier = next.select(col("node"))
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Triangle enumeration over an UNDIRECTED canonical edge list (`a` <
     * `b`, one row per edge — the shape the dedup pair ops emit). Returns
     * every (a, b, c) with a < b < c and all three edges present.

@@ -77,6 +77,25 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks.forall(r => r > 0.0 && r < 1.0))
   }
 
+  test("kHop: min-hop distances, unreachable excluded, early frontier drain") {
+    import spark.implicits._
+    // diamond a->b, a->c, b->d, c->d (d at 2 via both paths), chain d->e,
+    // back-edge b->a (revisit must not inflate hops), island x->y
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "e", "b" -> "a", "x" -> "y").toDF("src", "dst")
+    val got3 = Graph.kHop(edges, Seq("a").toDF("node"), k = 3).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got3 == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
+    // k larger than the graph's reach: early drain, same answer
+    val got9 = Graph.kHop(edges, Seq("a").toDF("node"), k = 9).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got9 == got3)
+    // k = 1 truncates
+    val got1 = Graph.kHop(edges, Seq("a").toDF("node"), k = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got1 == Map("a" -> 0, "b" -> 1, "c" -> 1))
+  }
+
   test("triangles: each emitted once in canonical order; wedges without closure stay out") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles), a pendant wedge 4-5, 4-6 (open), and

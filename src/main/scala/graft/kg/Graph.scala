@@ -125,7 +125,11 @@ object Graph {
     * count (Σ d_lo·d_hi), the same budget any distributed triangle count
     * (e.g. Cohen's MapReduce construction) pays. */
   def triangles(pairs: DataFrame): DataFrame = {
+    // the edge set feeds THREE subtrees (both wedge sides + the closure
+    // probe) and Spark has no CSE — materialize once or an expensive
+    // upstream (a PPJoin pipeline, say) runs three times
     val e = pairs.select(col("a"), col("b")).distinct()
+      .localCheckpoint(/* eager = */ true)
     // wedges a<b<c sharing middle vertex b… join on (a,c) closes them
     e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))

@@ -387,8 +387,16 @@ object Similarity {
         throw new IllegalArgumentException(
           s"unparseable IVF meta at $dir: ${meta.trim} — rebuild with buildIvfIndex")
     }
-    val (fpB, nB) = corpusFingerprint(newVecs)
+    val batchStats = newVecs.agg(
+      bit_xor(xxhash64(col("vec_id"), col("embedding"))),
+      count(lit(1)), count_distinct(col("vec_id"))).head()
+    val (fpB, nB) = (if (batchStats.isNullAt(0)) 0L else batchStats.getLong(0),
+      batchStats.getLong(1))
     if (nB == 0L) return
+    require(nB == batchStats.getLong(2),
+      s"append batch has duplicate vec_ids (${nB} rows, " +
+        s"${batchStats.getLong(2)} distinct) — assignments are keyed by " +
+        "vec_id and duplicates would fan out the read-side join")
     require(nOld + nB - trained <= (maxAppendFrac * trained).toLong,
       s"IVF index at $dir would hold ${nOld + nB - trained} appended rows " +
         s"over a quantizer trained on $trained (cap ${maxAppendFrac} x " +
@@ -405,8 +413,15 @@ object Similarity {
     val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
     newVecs.select(col("vec_id"), listUdf(col("embedding")).as("lst"))
       .write.mode("append").parquet(s"$dir/assignments.parquet")
-    java.nio.file.Files.writeString(ivfMetaPath(dir),
+    // atomic meta replace: a crash mid-write must leave the OLD meta (the
+    // reader then throws on fingerprint mismatch and the index is rebuilt),
+    // never a torn half-line that parses as something else
+    val tmp = java.nio.file.Paths.get(dir, "._META.json.tmp")
+    java.nio.file.Files.writeString(tmp,
       ivfMeta(fpOld ^ fpB, nOld + nB, trained, cfg))
+    java.nio.file.Files.move(tmp, ivfMetaPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** IVF top-k against a prebuilt [[buildIvfIndex]] index: ZERO training

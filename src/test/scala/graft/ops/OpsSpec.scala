@@ -506,6 +506,10 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.appendIvfIndex(batch1.limit(0), cfg, dir3)
     val trainQ = Similarity.ivfTopKIndexed(trainSet, queries, k, cfg, dir3)
     assert(trainQ.count() > 0)
+    // batch-internal duplicate ids must throw before touching the index
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(batch2.union(batch2), cfg, dir3)
+    }
   }
 
   test("embedding near-dup pairs stay within clusters") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarity, TextStats}
+import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -19,7 +19,8 @@ import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarit
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
   *                     embed-neardup | media-meta |
-  *                     media-features | frame-sample          (required)
+  *                     media-features | frame-sample |
+  *                     asof-join | range-join | contamination (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -54,6 +55,18 @@ import graft.ops.{Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarit
   *                     default: every --query-every-th corpus vector
   *   --query-every N                                          [50]
   *   --every-ms MS     frame-sample cadence                   [10000]
+  *   --right PATH      asof-join state/quote parquet           (required)
+  *   --intervals PATH  range-join interval parquet             (required)
+  *   --benchmark PATH  contamination benchmark parquet         (required)
+  *   --keys a,b        temporal-join key columns              [user_id]
+  *   --ts-col C        probe/point timestamp column           [ts]
+  *   --tie-col C       asof-join right-side tiebreak column    (required)
+  *   --payload a,b     asof-join right columns to attach       (required)
+  *   --prefix P        asof-join output column prefix         [asof_]
+  *   --lo-col / --hi-col   range-join interval bounds         [lo / hi]
+  *   --bucket-ms MS    range-join bucket width                [3600000]
+  *   --max-interval-buckets N   hard fan-out guard            [4096]
+  *   --text-col C      contamination text column              [text]
   *   --cores N         local master width     [8 / SPARK_GRAFT_CPUS]
   * }}}
   */
@@ -171,6 +184,28 @@ object DataMain {
       case "frame-sample" =>
         Multimodal.frameSampleRows(Multimodal.mediaFromDocuments(df),
           l("every-ms", 10000L))
+      case "asof-join" =>
+        val right = spark.read.parquet(args.getOrElse("right",
+          throw new IllegalArgumentException("--right is required for asof-join")))
+        Temporal.asofJoin(df, right,
+          s("keys", "user_id").split(",").toSeq, s("ts-col", "ts"),
+          args.getOrElse("tie-col", throw new IllegalArgumentException(
+            "--tie-col is required for asof-join")),
+          args.getOrElse("payload", throw new IllegalArgumentException(
+            "--payload is required for asof-join")).split(",").toSeq,
+          s("prefix", "asof_"))
+      case "range-join" =>
+        val intervals = spark.read.parquet(args.getOrElse("intervals",
+          throw new IllegalArgumentException("--intervals is required for range-join")))
+        Temporal.rangeJoin(df, intervals,
+          s("keys", "user_id").split(",").toSeq, s("ts-col", "ts"),
+          s("lo-col", "lo"), s("hi-col", "hi"), l("bucket-ms", 3600000L),
+          n("max-interval-buckets", 4096))
+      case "contamination" =>
+        val bench = spark.read.parquet(args.getOrElse("benchmark",
+          throw new IllegalArgumentException("--benchmark is required for contamination")))
+        Contamination.flagContaminated(df, bench, n("shingle-n", 6),
+          s("id-col", "doc_id"), s("text-col", "text"))
       // throws (not sys.exit): run() is also the embedded/test entry point —
       // main translates the failure into exit code 2
       case other => throw new IllegalArgumentException(s"unknown --op $other")
@@ -182,7 +217,10 @@ object DataMain {
     "combo-size", "id-col", "train-pct", "val-pct", "strata-col", "fractions",
     "default-fraction", "gap-ms", "k", "tables", "bits", "n-lists", "n-probe",
     "kmeans-iters", "queries", "query-every", "every-ms", "cores",
-    "index", "max-append-frac", "state", "partner-texts", "emit")
+    "index", "max-append-frac", "state", "partner-texts", "emit",
+    "right", "intervals", "benchmark", "keys", "ts-col", "tie-col",
+    "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
+    "max-interval-buckets", "text-col")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

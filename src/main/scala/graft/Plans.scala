@@ -245,6 +245,45 @@ object Plans {
       "no pair-distinct aggregate (first-collision dedup inside the bucket kernel)" ->
         (s => !s.split("Initial Plan")(0).contains("HashAggregate")))
 
+    // --- as-of join: the union+window formulation must produce NO join
+    // node at all — one hash exchange on the key, one Window pass ---
+    audit("q_asof_join", SparkEntry.queries("q_asof_join")(spark, dir),
+      execute = true)(
+      "zero join nodes (union + single-window as-of)" ->
+        (s => !s.split("Initial Plan")(0).contains("Join")),
+      "single Window node carries the as-of pick" ->
+        (s => s.split("Initial Plan")(0).split("Window \\(").length == 2))
+
+    // --- range join: bucketized to a keyed EQUI-join — a nested-loop or
+    // cartesian means the non-equi range predicate leaked into the join ---
+    audit("q_range_join", SparkEntry.queries("q_range_join")(spark, dir),
+      execute = true)(
+      "no cartesian/nested-loop product (bucket equi-join only)" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "keyed join with the residual range filter applied post-join" ->
+        (s => (s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+          s.contains("BroadcastHashJoin"))))
+
+    // --- contamination (managed variant — the plain op seals behind a
+    // checkpoint): benchmark hash set broadcast under the size gate,
+    // train side joins on 8-byte fingerprints, per-doc count partial ---
+    {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val m = graft.ops.Contamination.flagContaminatedManaged(
+        docs.filter(pmod(col("doc_id"), lit(25)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(25)) === 0), shingleN = 4)
+      audit("q_contamination", m.pairs, execute = true)(
+        "benchmark probe broadcast (size gate passed at this scale)" ->
+          (s => s.contains("BroadcastHashJoin")),
+        "no cartesian/nested-loop product" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")),
+        "per-doc hit count is a partial hash aggregate" ->
+          (s => s.contains("HashAggregate") && s.contains("partial")))
+      m.free()
+    }
+
     println(s"\nTOTAL CHECK FAILURES: $failures")
     spark.stop()
   }

@@ -608,6 +608,48 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("byte_entropy").cast("float").as("byte_entropy"))
         .orderBy(col("media_id"))
+    }),
+    // backward AS-OF join: every probe event picks the latest state event
+    // (same user, ts <= probe ts, max event_id tiebreak) — union + ONE
+    // window, no join node (oracle: correlated LIMIT-1 subqueries, an
+    // independent formulation of the same semantics)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val probes = ev.filter(col("event_id") % 3 =!= 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val states = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("ts"),
+          col("value").as("state_value"), col("event_id").as("state_event"))
+      graft.ops.Temporal.asofJoin(probes, states, Seq("user_id"), "ts",
+          "state_event", Seq("state_value", "state_event"))
+        .orderBy(col("event_id"))
+    }),
+    // point-in-interval RANGE join via time bucketization (equi-join on
+    // (user, bucket) + residual — never a BroadcastNestedLoopJoin): every
+    // 97th event opens a 24 h per-user interval; match all events inside
+    "q_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val intervals = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 24 HOURS")).as("hi"))
+      graft.ops.Temporal.rangeJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          intervals, Seq("user_id"), "ts", "lo", "hi",
+          bucketMs = 24L * 3600 * 1000)
+        .select(col("interval_id"), col("event_id"), col("ts"))
+        .orderBy(col("interval_id"), col("event_id"))
+    }),
+    // benchmark decontamination: train docs sharing any 4-token shingle
+    // with the benchmark set (doc_id % 25) — Spark joins 64-bit shingle
+    // fingerprints (the scale path), the oracle joins the raw shingle
+    // strings, so the compare also proves the fixture is collision-free
+    "q_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Contamination.flagContaminated(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0), shingleN = 4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -633,6 +675,11 @@ object SparkEntry {
     }),
     "q_doc_groups" -> queries("q_doc_groups"),
     "q_sessionize" -> queries("q_sessionize"),
+    // scale-free configs — the same query text runs at 10× (1M events /
+    // 50k docs); the sf0.1 pass carries their oracles
+    "q_asof_join" -> queries("q_asof_join"),
+    "q_range_join" -> queries("q_range_join"),
+    "q_contamination" -> queries("q_contamination"),
     "q_knn" -> queries("q_knn"),
     // corpus-scale ANN: 8 tables × 10 bits (buckets stay ~Vecs/1024/table)
     "q_knn_lsh" -> ((s, dir) => {
@@ -998,6 +1045,54 @@ object SparkEntry {
         |SELECT user_id, CAST(sess AS INT) AS session_idx, count(*) AS n_events,
         |       min(ts) AS start_ts, max(ts) AS end_ts
         |FROM y GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // independent formulation of the as-of semantics: two correlated LIMIT-1
+    // subqueries with the same (ts DESC, event DESC) pick — state_value rides
+    // through unchanged from parquet (no arithmetic), so the doubles are
+    // bit-identical across engines
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, event_id AS state_event, value AS state_value
+        |           FROM events WHERE event_id % 3 = 0),
+        |l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 3 <> 0)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  (SELECT r.state_value FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.state_event DESC LIMIT 1) AS asof_state_value,
+        |  (SELECT r.state_event FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.state_event DESC LIMIT 1) AS asof_state_event
+        |FROM l ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH i AS (SELECT event_id AS interval_id, user_id, ts AS lo,
+        |                  ts + INTERVAL 24 HOUR AS hi
+        |           FROM events WHERE event_id % 97 = 0)
+        |SELECT i.interval_id, e.event_id, e.ts
+        |FROM i JOIN events e
+        |  ON i.user_id = e.user_id AND e.ts >= i.lo AND e.ts <= i.hi
+        |ORDER BY i.interval_id, e.event_id""".stripMargin,
+    // raw shingle-STRING join (the Spark side joins fingerprint64 hashes —
+    // agreement additionally proves the fixture has no 64-bit collisions);
+    // shingle semantics mirror Dedup.wordShinglesKernel: lowercase,
+    // whitespace tokens, whole-token 4-grams, per-doc DISTINCT, docs
+    // shorter than n fall back to single tokens
+    "q_contamination" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0),
+        |tt AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM train),
+        |bt AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM bench),
+        |tsh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN toks
+        |    ELSE list_transform(range(1, len(toks)-4+2),
+        |                        i -> array_to_string(toks[i:i+3], ' ')) END) AS sh
+        |  FROM tt)),
+        |bsh AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(CASE WHEN len(toks) < 4 THEN toks
+        |    ELSE list_transform(range(1, len(toks)-4+2),
+        |                        i -> array_to_string(toks[i:i+3], ' ')) END) AS sh
+        |  FROM bt)),
+        |hits AS (SELECT t.doc_id, count(*) AS n_hits
+        |         FROM tsh t JOIN bsh b USING (sh) GROUP BY 1)
+        |SELECT tr.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM train tr LEFT JOIN hits h USING (doc_id)
+        |ORDER BY tr.doc_id""".stripMargin,
     "kg_nodes" ->
       s"""$kgBaseCte, n AS (
          |  SELECT 'Person|' || person_key AS id, 'Person' AS entity_type,

@@ -182,6 +182,46 @@ class DataMainSpec extends AnyFunSuite {
       5, cfg, idx))
   }
 
+  test("asof-join / range-join CLI == Temporal library calls") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val tmp = Files.createTempDirectory("graft-temporal-cli").toString
+    val probes = ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val states = ev.filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("ts"), col("value").as("state_value"),
+        col("event_id").as("state_event"))
+    probes.write.parquet(s"$tmp/probes")
+    states.write.parquet(s"$tmp/states")
+    val out = cli("--op", "asof-join", "--in", s"$tmp/probes",
+      "--right", s"$tmp/states", "--tie-col", "state_event",
+      "--payload", "state_value,state_event")
+    assertCliEqualsLibrary(out, graft.ops.Temporal.asofJoin(probes, states,
+      Seq("user_id"), "ts", "state_event", Seq("state_value", "state_event")))
+
+    val intervals = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 24 HOURS")).as("hi"))
+    intervals.write.parquet(s"$tmp/intervals")
+    val out2 = cli("--op", "range-join", "--in", s"$tmp/probes",
+      "--intervals", s"$tmp/intervals", "--bucket-ms", "86400000")
+    assertCliEqualsLibrary(out2, graft.ops.Temporal.rangeJoin(probes, intervals,
+      Seq("user_id"), "ts", "lo", "hi", 86400000L))
+  }
+
+  test("contamination CLI == Contamination.flagContaminated") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = Files.createTempDirectory("graft-contam-cli").toString
+    docs.filter(col("doc_id") % 25 =!= 0).write.parquet(s"$tmp/train")
+    docs.filter(col("doc_id") % 25 === 0).write.parquet(s"$tmp/bench")
+    val out = cli("--op", "contamination", "--in", s"$tmp/train",
+      "--benchmark", s"$tmp/bench", "--shingle-n", "4")
+    assertCliEqualsLibrary(out, graft.ops.Contamination.flagContaminated(
+      docs.filter(col("doc_id") % 25 =!= 0), docs.filter(col("doc_id") % 25 === 0),
+      shingleN = 4))
+  }
+
   test("unknown op and malformed fractions fail loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       DataMain.run(spark, "no-such-op", s"$sf/documents.parquet", Map.empty)

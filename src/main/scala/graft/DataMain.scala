@@ -15,7 +15,8 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessio
   *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
   *                     simhash-pairs | doc-groups | dedup-delta |
   *                     neardup-delta | dedup-ingest | split | stratified |
-  *                     sessionize | token-stats | quality | lang-id |
+  *                     sessionize | token-stats | quality | repetition |
+  *                     lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
   *                     embed-neardup | media-meta |
@@ -144,6 +145,7 @@ object DataMain {
       case "sessionize" => Sessionize.sessions(df, l("gap-ms", 1800000L))
       case "token-stats" => TextStats.tokenStats(df)
       case "quality" => TextStats.quality(df)
+      case "repetition" => TextStats.repetitionStats(df)
       case "lang-id" => TextStats.langId(df)
       case "scrub" => TextStats.scrub(df)
       case "top-terms" => TextStats.topTerms(df, n("k", 3))

@@ -245,6 +245,16 @@ object Plans {
       "no pair-distinct aggregate (first-collision dedup inside the bucket kernel)" ->
         (s => !s.split("Initial Plan")(0).contains("HashAggregate")))
 
+    // --- repetition stats: map-only typed-kernel projection — the ONLY
+    // acceptable exchange is the output ordering (same posture as
+    // q_stratified); and never a python/interpreted-HOF boundary ---
+    audit("q_repetition", SparkEntry.queries("q_repetition")(spark, dir),
+      execute = true)(
+      "no shuffle except the output sort (one Exchange at most)" ->
+        (s => s.split("Initial Plan")(0).split("Exchange").length <= 2),
+      "no lambda higher-order functions (typed kernel, not HOFs)" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+
     // --- as-of join: the union+window formulation must produce NO join
     // node at all — one hash exchange on the key, one Window pass ---
     audit("q_asof_join", SparkEntry.queries("q_asof_join")(spark, dir),

@@ -640,6 +640,14 @@ object SparkEntry {
         .select(col("interval_id"), col("event_id"), col("ts"))
         .orderBy(col("interval_id"), col("event_id"))
     }),
+    // Gopher-style repetition quality signals: duplicate-word /
+    // top-bigram / duplicate-trigram fractions — map-only typed kernel,
+    // exact integer-ratio doubles (bit-identical across engines)
+    "q_repetition" -> ((s, dir) => {
+      graft.ops.TextStats.repetitionStats(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    }),
     // benchmark decontamination: train docs sharing any 4-token shingle
     // with the benchmark set (doc_id % 25) — Spark joins 64-bit shingle
     // fingerprints (the scale path), the oracle joins the raw shingle
@@ -680,6 +688,7 @@ object SparkEntry {
     "q_asof_join" -> queries("q_asof_join"),
     "q_range_join" -> queries("q_range_join"),
     "q_contamination" -> queries("q_contamination"),
+    "q_repetition" -> queries("q_repetition"),
     "q_knn" -> queries("q_knn"),
     // corpus-scale ANN: 8 tables × 10 bits (buckets stay ~Vecs/1024/table)
     "q_knn_lsh" -> ((s, dir) => {
@@ -734,7 +743,10 @@ object SparkEntry {
     "q_token_stats_10x" -> at10x("q_token_stats"),
     "q_sessionize_10x" -> at10x("q_sessionize"),
     "q_sample_split_10x" -> at10x("q_sample_split"),
-    "q_stratified_10x" -> at10x("q_stratified"))
+    "q_stratified_10x" -> at10x("q_stratified"),
+    "q_repetition_10x" -> at10x("q_repetition"),
+    "q_range_join_10x" -> at10x("q_range_join"),
+    "q_contamination_10x" -> at10x("q_contamination"))
 
   /** Rewrites a base-table oracle to read the 10× fixture parquet directly:
     * prepends CTEs named after the tables (a CTE shadows any same-named
@@ -757,7 +769,10 @@ object SparkEntry {
       "q_token_stats_10x" -> retargetSql(oracleSqlBase("q_token_stats"), d, Seq("documents")),
       "q_sessionize_10x" -> retargetSql(oracleSqlBase("q_sessionize"), d, Seq("events")),
       "q_sample_split_10x" -> retargetSql(oracleSqlBase("q_sample_split"), d, Seq("documents")),
-      "q_stratified_10x" -> retargetSql(oracleSqlBase("q_stratified"), d, Seq("documents")))
+      "q_stratified_10x" -> retargetSql(oracleSqlBase("q_stratified"), d, Seq("documents")),
+      "q_repetition_10x" -> retargetSql(oracleSqlBase("q_repetition"), d, Seq("documents")),
+      "q_range_join_10x" -> retargetSql(oracleSqlBase("q_range_join"), d, Seq("events")),
+      "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")))
   }
 
   def oracleSql: Map[String, String] = oracleSqlBase +
@@ -1067,6 +1082,37 @@ object SparkEntry {
         |FROM i JOIN events e
         |  ON i.user_id = e.user_id AND e.ts >= i.lo AND e.ts <= i.hi
         |ORDER BY i.interval_id, e.event_id""".stripMargin,
+    // relational recomputation of the repetition kernel: each fraction is
+    // one IEEE division of exact integer counts, so equality is bitwise
+    "q_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM tk
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM tk WHERE len(toks) >= 2
+        |), bgc AS (
+        |  SELECT doc_id, max(c) AS topc
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+        |), tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM tk WHERE len(toks) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, count(*) AS cnt, count(DISTINCT g) AS dist FROM tg GROUP BY 1
+        |)
+        |SELECT b.doc_id, CAST(b.n AS INT) AS n_words,
+        |  CASE WHEN b.n = 0 THEN 0.0
+        |       ELSE CAST(b.n - b.nd AS DOUBLE) / b.n END AS dup_word_frac,
+        |  CASE WHEN bgc.topc IS NULL THEN 0.0
+        |       ELSE CAST(bgc.topc AS DOUBLE) / (b.n - 1) END AS top_bigram_frac,
+        |  CASE WHEN tgc.cnt IS NULL THEN 0.0
+        |       ELSE CAST(tgc.cnt - tgc.dist AS DOUBLE) / tgc.cnt END AS dup_trigram_frac
+        |FROM base b LEFT JOIN bgc USING (doc_id) LEFT JOIN tgc USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // raw shingle-STRING join (the Spark side joins fingerprint64 hashes —
     // agreement additionally proves the fixture has no 64-bit collisions);
     // shingle semantics mirror Dedup.wordShinglesKernel: lowercase,

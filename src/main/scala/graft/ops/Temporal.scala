@@ -108,6 +108,8 @@ object Temporal {
     val collide = iRest.toSet.intersect(points.columns.toSet)
     require(collide.isEmpty,
       s"rangeJoin: interval columns ${collide.mkString(",")} collide with point columns")
+    require(!(points.columns ++ intervals.columns).exists(_.startsWith("__rj_")),
+      "rangeJoin: inputs may not contain __rj_* columns")
 
     // floor(ms / bucketMs) in exact decimal arithmetic (a double divide
     // truncates toward zero, which is NOT floor for pre-epoch timestamps)

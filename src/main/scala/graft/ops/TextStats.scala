@@ -72,6 +72,62 @@ object TextStats {
         + distinctRatio * lit(0.2)).as("quality_score"))
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 — the
+    * standard web-corpus repetition filters), adapted to word streams:
+    *
+    *  - `dup_word_frac`:    (n - distinct) / n token occurrences that repeat
+    *  - `top_bigram_frac`:  occurrences of the MOST FREQUENT word bigram
+    *                        over all n-1 bigram positions
+    *  - `dup_trigram_frac`: trigram occurrences beyond each first sighting
+    *                        over all n-2 trigram positions
+    *
+    * One typed UDF kernel per document (a single hash pass over the tokens
+    * — the n-gram construction has no native Spark expression and a lambda
+    * HOF would be interpreted, the repo's measured ~1000× trap), map-only
+    * plan, zero shuffles. Every ratio is one IEEE division of two exact
+    * integers, so the doubles are bit-identical across engines (the DuckDB
+    * oracle recomputes them relationally). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val k = udf((text: String) => {
+      val toks = (if (text == null) "" else text)
+        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      val dupW = if (n == 0) 0.0 else (n - toks.distinct.length).toDouble / n
+      var topBg = 0.0
+      if (n >= 2) {
+        val m = scala.collection.mutable.HashMap.empty[String, Int]
+        var best = 0
+        var i = 0
+        while (i < n - 1) {
+          val g = toks(i) + " " + toks(i + 1)
+          val c = m.getOrElse(g, 0) + 1
+          m(g) = c
+          if (c > best) best = c
+          i += 1
+        }
+        topBg = best.toDouble / (n - 1)
+      }
+      var dupTg = 0.0
+      if (n >= 3) {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var dup = 0
+        var i = 0
+        while (i < n - 2) {
+          if (!seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))) dup += 1
+          i += 1
+        }
+        dupTg = dup.toDouble / (n - 2)
+      }
+      (n, dupW, topBg, dupTg)
+    })
+    docs.select(col("doc_id"), k(col("text")).as("__rep"))
+      .select(col("doc_id"),
+        col("__rep._1").as("n_words"),
+        col("__rep._2").as("dup_word_frac"),
+        col("__rep._3").as("top_bigram_frac"),
+        col("__rep._4").as("dup_trigram_frac"))
+  }
+
   /** PII/noise scrubbing — the text-curation cleaning pass: mask emails,
     * URLs and long digit runs, collapse whitespace. Regexes restricted to a
     * dialect with identical semantics in Java regex and RE2 (oracle parity).

@@ -209,6 +209,12 @@ class DataMainSpec extends AnyFunSuite {
       Seq("user_id"), "ts", "lo", "hi", 86400000L))
   }
 
+  test("repetition CLI == TextStats.repetitionStats") {
+    val out = cli("--op", "repetition", "--in", s"$sf/documents.parquet")
+    assertCliEqualsLibrary(out, graft.ops.TextStats.repetitionStats(
+      spark.read.parquet(s"$sf/documents.parquet")))
+  }
+
   test("contamination CLI == Contamination.flagContaminated") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

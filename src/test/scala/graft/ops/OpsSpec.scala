@@ -553,6 +553,42 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L) > out(2L))
   }
 
+  test("repetitionStats: exact fractions, brute-force parity, edge lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),        // 9 toks, 3 distinct; "a b" x3 of 8; all 7 trigrams seen {abc,bca,cab} => 4 dups
+      (2L, "unique words only here"),   // no repetition at all
+      (3L, "solo"),                     // n=1: no bigrams/trigrams
+      (4L, "two words"),                // n=2: one bigram, no trigrams
+      (5L, ""))                         // empty
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (
+        r.getAs[Int]("n_words"), r.getAs[Double]("dup_word_frac"),
+        r.getAs[Double]("top_bigram_frac"), r.getAs[Double]("dup_trigram_frac")))
+      .toMap
+    assert(out(1L) == ((9, 6.0 / 9, 3.0 / 8, 4.0 / 7)))
+    assert(out(2L) == ((4, 0.0, 1.0 / 3, 0.0))) // every bigram unique: top count 1
+    assert(out(3L) == ((1, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((2, 0.0, 1.0, 0.0))) // the single bigram IS the top one
+    assert(out(5L) == ((0, 0.0, 0.0, 0.0)))
+
+    // brute-force parity on a mixed doc (tokenization incl. case folding)
+    val text = "The the THE quick Quick brown fox fox jumps over the lazy dog the end"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val n = toks.length
+    val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    val trigrams = toks.sliding(3).map(_.mkString(" ")).toSeq
+    val got = TextStats.repetitionStats(Seq((9L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getAs[Int]("n_words") == n)
+    assert(got.getAs[Double]("dup_word_frac") == (n - toks.distinct.size).toDouble / n)
+    assert(got.getAs[Double]("top_bigram_frac") ==
+      bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size)
+    assert(got.getAs[Double]("dup_trigram_frac") ==
+      (trigrams.size - trigrams.distinct.size).toDouble / trigrams.size)
+  }
+
   test("langId picks the language with most marker hits, deterministic ties") {
     import spark.implicits._
     val docs = Seq(

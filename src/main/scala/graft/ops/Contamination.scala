@@ -44,7 +44,9 @@ object Contamination {
     * free after materializing). Output: one row per train document —
     * (idCol, n_hits, contaminated) where `n_hits` counts the train doc's
     * DISTINCT shingles that occur anywhere in the benchmark set and
-    * `contaminated = n_hits > 0`. Both frames need (idCol, textCol).
+    * `contaminated = n_hits > 0`. Both frames need (idCol, textCol); `idCol`
+    * is assumed unique per row (duplicate train ids would each carry their
+    * own row, with hit counts attributed to all of them).
     */
   def flagContaminated(train: DataFrame, benchmark: DataFrame,
       shingleN: Int = 6, idCol: String = "doc_id", textCol: String = "text",

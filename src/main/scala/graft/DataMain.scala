@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -16,7 +16,7 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessio
   *                     simhash-pairs | doc-groups | dedup-delta |
   *                     neardup-delta | dedup-ingest | split | stratified |
   *                     sessionize | token-stats | quality | repetition |
-  *                     lang-id |
+  *                     pack-shards | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
   *                     embed-neardup | media-meta |
@@ -68,6 +68,8 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessio
   *   --bucket-ms MS    range-join bucket width                [3600000]
   *   --max-interval-buckets N   hard fan-out guard            [4096]
   *   --text-col C      contamination text column              [text]
+  *   --budget W        pack-shards weight budget per shard    [100000000]
+  *   --weight-col C    pack-shards weight column              [n_chars]
   *   --cores N         local master width     [8 / SPARK_GRAFT_CPUS]
   * }}}
   */
@@ -146,6 +148,8 @@ object DataMain {
       case "token-stats" => TextStats.tokenStats(df)
       case "quality" => TextStats.quality(df)
       case "repetition" => TextStats.repetitionStats(df)
+      case "pack-shards" => Sharding.packByBudget(df, l("budget", 100000000L),
+        s("id-col", "doc_id"), s("weight-col", "n_chars"))
       case "lang-id" => TextStats.langId(df)
       case "scrub" => TextStats.scrub(df)
       case "top-terms" => TextStats.topTerms(df, n("k", 3))
@@ -222,7 +226,7 @@ object DataMain {
     "index", "max-append-frac", "state", "partner-texts", "emit",
     "right", "intervals", "benchmark", "keys", "ts-col", "tie-col",
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
-    "max-interval-buckets", "text-col")
+    "max-interval-buckets", "text-col", "budget", "weight-col")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

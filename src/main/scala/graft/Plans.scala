@@ -245,6 +245,26 @@ object Plans {
       "no pair-distinct aggregate (first-collision dedup inside the bucket kernel)" ->
         (s => !s.split("Initial Plan")(0).contains("HashAggregate")))
 
+    // --- shard packing (two-pass prefix sum): the offsets side must ride a
+    // broadcast (it is O(partitions) rows), never a shuffled join; and the
+    // running sum is ONE window node over the partition-id key ---
+    {
+      // audit the pre-seal plan: packByBudget checkpoints its output, so
+      // audit the managed variant's pass-2 frame (what actually executes)
+      val m = graft.ops.Sharding.packByBudgetManaged(
+        spark.read.parquet(s"$dir/documents.parquet"), budget = 8000L)
+      val df = m.pairs
+      audit("q_pack_shards_pass2", df, execute = true)(
+        "offsets joined via BroadcastHashJoin (O(partitions) side)" ->
+          (s => s.contains("BroadcastHashJoin")),
+        "single Window node for the running sum" ->
+          (s => s.split("Initial Plan")(0).split("Window \\(").length == 2),
+        "no cartesian/nested-loop product" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")))
+      m.free()
+    }
+
     // --- repetition stats: map-only typed-kernel projection — the ONLY
     // acceptable exchange is the output ordering (same posture as
     // q_stratified); and never a python/interpreted-HOF boundary ---

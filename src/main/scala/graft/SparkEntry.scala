@@ -640,6 +640,14 @@ object SparkEntry {
         .select(col("interval_id"), col("event_id"), col("ts"))
         .orderBy(col("interval_id"), col("event_id"))
     }),
+    // deterministic shard packing: shard_id = exclusive-prefix-sum(weight)
+    // div budget — a two-pass distributed scan (per-partition totals +
+    // offset broadcast); byte-identical shard maps at any parallelism
+    "q_pack_shards" -> ((s, dir) => {
+      graft.ops.Sharding.packByBudget(
+          s.read.parquet(s"$dir/documents.parquet"), budget = 8000L)
+        .orderBy(col("doc_id"))
+    }),
     // Gopher-style repetition quality signals: duplicate-word /
     // top-bigram / duplicate-trigram fractions — map-only typed kernel,
     // exact integer-ratio doubles (bit-identical across engines)
@@ -689,6 +697,7 @@ object SparkEntry {
     "q_range_join" -> queries("q_range_join"),
     "q_contamination" -> queries("q_contamination"),
     "q_repetition" -> queries("q_repetition"),
+    "q_pack_shards" -> queries("q_pack_shards"),
     "q_knn" -> queries("q_knn"),
     // corpus-scale ANN: 8 tables × 10 bits (buckets stay ~Vecs/1024/table)
     "q_knn_lsh" -> ((s, dir) => {
@@ -746,7 +755,8 @@ object SparkEntry {
     "q_stratified_10x" -> at10x("q_stratified"),
     "q_repetition_10x" -> at10x("q_repetition"),
     "q_range_join_10x" -> at10x("q_range_join"),
-    "q_contamination_10x" -> at10x("q_contamination"))
+    "q_contamination_10x" -> at10x("q_contamination"),
+    "q_pack_shards_10x" -> at10x("q_pack_shards"))
 
   /** Rewrites a base-table oracle to read the 10× fixture parquet directly:
     * prepends CTEs named after the tables (a CTE shadows any same-named
@@ -772,7 +782,8 @@ object SparkEntry {
       "q_stratified_10x" -> retargetSql(oracleSqlBase("q_stratified"), d, Seq("documents")),
       "q_repetition_10x" -> retargetSql(oracleSqlBase("q_repetition"), d, Seq("documents")),
       "q_range_join_10x" -> retargetSql(oracleSqlBase("q_range_join"), d, Seq("events")),
-      "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")))
+      "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")),
+      "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
   }
 
   def oracleSql: Map[String, String] = oracleSqlBase +
@@ -1082,6 +1093,14 @@ object SparkEntry {
         |FROM i JOIN events e
         |  ON i.user_id = e.user_id AND e.ts >= i.lo AND e.ts <= i.hi
         |ORDER BY i.interval_id, e.event_id""".stripMargin,
+    // global-window recomputation of the two-pass prefix-sum pack (DuckDB
+    // runs it single-node, Spark distributes it — same integer arithmetic)
+    "q_pack_shards" ->
+      """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents)
+        |SELECT doc_id, weight,
+        |  CAST((sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - weight)
+        |    // 8000 AS BIGINT) AS shard_id
+        |FROM w ORDER BY doc_id""".stripMargin,
     // relational recomputation of the repetition kernel: each fraction is
     // one IEEE division of exact integer counts, so equality is bitwise
     "q_repetition" ->

@@ -215,6 +215,13 @@ class DataMainSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet")))
   }
 
+  test("pack-shards CLI == Sharding.packByBudget (budget flag honored)") {
+    val out = cli("--op", "pack-shards", "--in", s"$sf/documents.parquet",
+      "--budget", "2000")
+    assertCliEqualsLibrary(out, graft.ops.Sharding.packByBudget(
+      spark.read.parquet(s"$sf/documents.parquet"), 2000L))
+  }
+
   test("contamination CLI == Contamination.flagContaminated") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

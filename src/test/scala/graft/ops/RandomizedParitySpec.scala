@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Seeded randomized parity sweeps for the order-sensitive operators — each
+  * trial draws a random corpus shape (sizes, key cardinalities, tie rates)
+  * and compares the distributed result to an in-memory brute force. Fixed
+  * seeds: failures reproduce exactly. Complements the hand-picked edge
+  * cases in TemporalSpec/ShardingSpec with breadth. */
+class RandomizedParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("asofJoin == brute force across random corpus shapes (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val nUsers = 1 + rnd.nextInt(6)
+      val nRight = rnd.nextInt(60)
+      val nLeft = 1 + rnd.nextInt(80)
+      val tsRange = 1 + rnd.nextInt(20) // small range => many exact ties
+      val rights = (0 until nRight).map(i =>
+        (rnd.nextInt(nUsers).toLong, rnd.nextInt(tsRange).toLong * 1000L,
+          1000L + i, rnd.nextInt(100) / 10.0))
+      val lefts = (0 until nLeft).map(i =>
+        (rnd.nextInt(nUsers + 1).toLong, rnd.nextInt(tsRange).toLong * 1000L,
+          2000L + i))
+      val l = lefts.toDF("user_id", "tsm", "event_id")
+        .select(col("event_id"), col("user_id"),
+          timestamp_millis(col("tsm")).as("ts"))
+      val r = rights.toDF("user_id", "tsm", "state_event", "state_value")
+        .select(col("user_id"), timestamp_millis(col("tsm")).as("ts"),
+          col("state_value"), col("state_event"))
+      val got = Temporal.asofJoin(l, r, Seq("user_id"), "ts", "state_event",
+          Seq("state_value", "state_event"))
+        .collect()
+        .map(x => (x.getAs[Long]("event_id"),
+          Option(x.getAs[Any]("asof_state_value")),
+          Option(x.getAs[Any]("asof_state_event")))).toSet
+      val expected = lefts.map { case (u, lts, id) =>
+        val c = rights.filter(x => x._1 == u && x._2 <= lts)
+        if (c.isEmpty) (id, None, None)
+        else {
+          val b = c.maxBy(x => (x._2, x._3))
+          (id, Some(b._4: Any), Some(b._3: Any))
+        }
+      }.toSet
+      assert(got == expected, s"trial $trial (users=$nUsers r=$nRight l=$nLeft)")
+    }
+  }
+
+  test("rangeJoin == brute force across random interval shapes (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(2000 + trial)
+      val nUsers = 1 + rnd.nextInt(4)
+      val nPts = rnd.nextInt(80)
+      val nIvs = rnd.nextInt(12)
+      val pts = (0 until nPts).map(i =>
+        (i.toLong, rnd.nextInt(nUsers).toLong, rnd.nextInt(100).toLong * 1000L))
+      val ivs = (0 until nIvs).map { i =>
+        val lo = rnd.nextInt(100).toLong * 1000L
+        (i.toLong, rnd.nextInt(nUsers).toLong, lo,
+          lo + rnd.nextInt(40).toLong * 1000L)
+      }
+      val p = pts.toDF("event_id", "user_id", "tsm")
+        .select(col("event_id"), col("user_id"),
+          timestamp_millis(col("tsm")).as("ts"))
+      val iv = ivs.toDF("interval_id", "user_id", "lom", "him")
+        .select(col("interval_id"), col("user_id"),
+          timestamp_millis(col("lom")).as("lo"),
+          timestamp_millis(col("him")).as("hi"))
+      val bucketMs = (1 + rnd.nextInt(5)) * 7000L
+      val got = Temporal.rangeJoin(p, iv, Seq("user_id"), "ts", "lo", "hi",
+          bucketMs).select(col("interval_id"), col("event_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.toSet.size, s"trial $trial: dup pairs")
+      val expected = (for {
+        (pid, pu, pts_) <- pts
+        (iid, iu, lo, hi) <- ivs
+        if pu == iu && pts_ >= lo && pts_ <= hi
+      } yield (iid, pid)).toSet
+      assert(got.toSet == expected, s"trial $trial (bucketMs=$bucketMs)")
+    }
+  }
+
+  test("packByBudget == brute force across random weight shapes (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(3000 + trial)
+      val n = 1 + rnd.nextInt(300)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      val budget = 1L + rnd.nextInt(3000)
+      val got = Sharding.packByBudget(
+          rows.toDF("doc_id", "n_chars").repartition(1 + rnd.nextInt(5)), budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      var cum = 0L
+      val expected = rows.sortBy(_._1).map { case (id, w) =>
+        val s = cum / budget; cum += w; id -> s
+      }.toMap
+      assert(got == expected, s"trial $trial (n=$n budget=$budget)")
+    }
+  }
+}

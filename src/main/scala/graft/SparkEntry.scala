@@ -754,6 +754,7 @@ object SparkEntry {
     "q_sample_split_10x" -> at10x("q_sample_split"),
     "q_stratified_10x" -> at10x("q_stratified"),
     "q_repetition_10x" -> at10x("q_repetition"),
+    "q_asof_join_10x" -> at10x("q_asof_join"),
     "q_range_join_10x" -> at10x("q_range_join"),
     "q_contamination_10x" -> at10x("q_contamination"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -781,6 +782,7 @@ object SparkEntry {
       "q_sample_split_10x" -> retargetSql(oracleSqlBase("q_sample_split"), d, Seq("documents")),
       "q_stratified_10x" -> retargetSql(oracleSqlBase("q_stratified"), d, Seq("documents")),
       "q_repetition_10x" -> retargetSql(oracleSqlBase("q_repetition"), d, Seq("documents")),
+      "q_asof_join_10x" -> retargetSql(oracleSqlBase("q_asof_join"), d, Seq("events")),
       "q_range_join_10x" -> retargetSql(oracleSqlBase("q_range_join"), d, Seq("events")),
       "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))

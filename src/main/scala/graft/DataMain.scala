@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Dedup, DeltaDedup, Importance, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -21,7 +21,8 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessio
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
   *                     embed-neardup | media-meta |
   *                     media-features | frame-sample |
-  *                     asof-join | range-join | contamination (required)
+  *                     asof-join | range-join | contamination |
+  *                     dsir-weights | dsir-sample              (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -67,7 +68,10 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Multimodal, Sampling, Sessio
   *   --lo-col / --hi-col   range-join interval bounds         [lo / hi]
   *   --bucket-ms MS    range-join bucket width                [3600000]
   *   --max-interval-buckets N   hard fan-out guard            [4096]
-  *   --text-col C      contamination text column              [text]
+  *   --text-col C      contamination / dsir text column       [text]
+  *   --target PATH     DSIR target (quality) corpus parquet    (required)
+  *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
+  *   --temperature T   dsir-sample Gumbel temperature          [1.0]
   *   --budget W        pack-shards weight budget per shard    [100000000]
   *   --weight-col C    pack-shards weight column              [n_chars]
   *   --cores N         local master width     [8 / SPARK_GRAFT_CPUS]
@@ -212,6 +216,16 @@ object DataMain {
           throw new IllegalArgumentException("--benchmark is required for contamination")))
         Contamination.flagContaminated(df, bench, n("shingle-n", 6),
           s("id-col", "doc_id"), s("text-col", "text"))
+      case "dsir-weights" | "dsir-sample" =>
+        val target = spark.read.parquet(args.getOrElse("target",
+          throw new IllegalArgumentException(s"--target is required for $op")))
+        val cfg = Importance.DsirConfig(n("buckets", 1024), f("alpha", 1.0))
+        if (op == "dsir-weights")
+          Importance.dsirWeights(df, target, cfg,
+            s("text-col", "text"), s("id-col", "doc_id"))
+        else
+          Importance.resampleTopK(df, target, n("k", 1000),
+            f("temperature", 1.0), cfg, s("text-col", "text"), s("id-col", "doc_id"))
       // throws (not sys.exit): run() is also the embedded/test entry point —
       // main translates the failure into exit code 2
       case other => throw new IllegalArgumentException(s"unknown --op $other")
@@ -226,7 +240,8 @@ object DataMain {
     "index", "max-append-frac", "state", "partner-texts", "emit",
     "right", "intervals", "benchmark", "keys", "ts-col", "tie-col",
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
-    "max-interval-buckets", "text-col", "budget", "weight-col")
+    "max-interval-buckets", "text-col", "budget", "weight-col",
+    "target", "buckets", "alpha", "temperature")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -314,6 +314,26 @@ object Plans {
       m.free()
     }
 
+    // --- DSIR importance weights: the <=B-row log-ratio frame is broadcast
+    // into the token scan (the corpus NEVER shuffles for the join; the one
+    // shuffle is the per-doc aggregation), totals fold in as a 1-row NLJ ---
+    audit("q_dsir_weights", SparkEntry.queries("q_dsir_weights")(spark, dir),
+      execute = true)(
+      "bucket log-ratios broadcast into the token scan" ->
+        (s => s.contains("BroadcastHashJoin")),
+      "no cartesian; the only nested-loop is the 1-row totals fold" ->
+        (s => !s.contains("CartesianProduct") &&
+          s.split("Initial Plan")(0).split("BroadcastNestedLoopJoin").length <= 2),
+      "per-doc score is a partial hash aggregate" ->
+        (s => s.contains("HashAggregate") && s.contains("partial")),
+      "no lambda higher-order functions in the token scan" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+
+    audit("q_dsir_resample", SparkEntry.queries("q_dsir_resample")(spark, dir),
+      execute = true)(
+      "Gumbel top-k is TakeOrderedAndProject, never a global sort" ->
+        (s => s.contains("TakeOrderedAndProject")))
+
     println(s"\nTOTAL CHECK FAILURES: $failures")
     spark.stop()
   }

@@ -666,6 +666,28 @@ object SparkEntry {
           docs.filter(col("doc_id") % 25 =!= 0),
           docs.filter(col("doc_id") % 25 === 0), shingleN = 4)
         .orderBy(col("doc_id"))
+    }),
+    // DSIR importance weights: target = the src0 slice, raw = the rest; the
+    // oracle re-derives the hashed-unigram log-ratios from text in HUGEINT
+    // FNV arithmetic (float32 publish absorbs summation order, the
+    // byte-entropy pattern)
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Importance.dsirWeights(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          graft.ops.Importance.DsirConfig(buckets = 256))
+        .orderBy(col("doc_id"))
+    }),
+    // deterministic Gumbel-top-k resampling over the same weights (noise is
+    // a pure function of doc_id, so the draw is engine-reproducible)
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Importance.resampleTopK(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), 50, temperature = 0.5,
+          graft.ops.Importance.DsirConfig(buckets = 256))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -696,6 +718,8 @@ object SparkEntry {
     "q_asof_join" -> queries("q_asof_join"),
     "q_range_join" -> queries("q_range_join"),
     "q_contamination" -> queries("q_contamination"),
+    "q_dsir_weights" -> queries("q_dsir_weights"),
+    "q_dsir_resample" -> queries("q_dsir_resample"),
     "q_repetition" -> queries("q_repetition"),
     "q_pack_shards" -> queries("q_pack_shards"),
     "q_knn" -> queries("q_knn"),
@@ -757,6 +781,8 @@ object SparkEntry {
     "q_asof_join_10x" -> at10x("q_asof_join"),
     "q_range_join_10x" -> at10x("q_range_join"),
     "q_contamination_10x" -> at10x("q_contamination"),
+    "q_dsir_weights_10x" -> at10x("q_dsir_weights"),
+    "q_dsir_resample_10x" -> at10x("q_dsir_resample"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
 
   /** Rewrites a base-table oracle to read the 10× fixture parquet directly:
@@ -785,6 +811,8 @@ object SparkEntry {
       "q_asof_join_10x" -> retargetSql(oracleSqlBase("q_asof_join"), d, Seq("events")),
       "q_range_join_10x" -> retargetSql(oracleSqlBase("q_range_join"), d, Seq("events")),
       "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")),
+      "q_dsir_weights_10x" -> retargetSql(oracleSqlBase("q_dsir_weights"), d, Seq("documents")),
+      "q_dsir_resample_10x" -> retargetSql(oracleSqlBase("q_dsir_resample"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
   }
 
@@ -807,6 +835,52 @@ object SparkEntry {
       |    (h, b) -> (xor(h, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
       |  FROM documents
       |)""".stripMargin
+
+  /** FNV-1a 64 HUGEINT fold of an arbitrary string expression (the fnvCte
+    * body parameterized by use site). */
+  private def fnvHuSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, length($e)+1), i -> CAST(ord($e[i]) AS HUGEINT))),
+       |    (h, x) -> (xor(h, x) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
+
+  /** Signed reinterpretation + pmod of a HUGEINT hash column — the
+    * q_sample_split cell mapping, parameterized by modulus. */
+  private def signedPmodSql(hu: String, m: Long): String =
+    s"""((((CASE WHEN $hu >= CAST(9223372036854775808 AS HUGEINT)
+       |    THEN $hu - CAST(18446744073709551616 AS HUGEINT) ELSE $hu END) % $m) + $m) % $m)""".stripMargin
+
+  /** DSIR weights in SQL: hashed-unigram bucket counts of the src0 target
+    * vs the raw rest, smoothed log-ratio summed per raw document (shared by
+    * the weight and resample oracles). */
+  private lazy val dsirCtes: String =
+    s"""dtt AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+       |  FROM documents WHERE source = 'src0'
+       |), drt AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+       |  FROM documents WHERE source <> 'src0'
+       |), tb AS (
+       |  SELECT CAST(${signedPmodSql("hu", 256)} AS BIGINT) AS b
+       |  FROM (SELECT ${fnvHuSql("t")} AS hu FROM dtt)
+       |), rb AS (
+       |  SELECT doc_id, CAST(${signedPmodSql("hu", 256)} AS BIGINT) AS b
+       |  FROM (SELECT doc_id, ${fnvHuSql("t")} AS hu FROM drt)
+       |), dct AS (SELECT b, count(*) AS n FROM tb GROUP BY 1
+       |), dcr AS (SELECT b, count(*) AS n FROM rb GROUP BY 1
+       |), dtot AS (SELECT (SELECT count(*) FROM tb) AS ttot,
+       |                   (SELECT count(*) FROM rb) AS rtot
+       |), dsc AS (
+       |  SELECT rb.doc_id, count(*) AS n_tokens,
+       |         sum(ln(coalesce(dct.n, 0) + 1.0) - ln(ttot + 256.0)
+       |           - ln(dcr.n + 1.0) + ln(rtot + 256.0)) AS w
+       |  FROM rb JOIN dcr USING (b) LEFT JOIN dct USING (b) CROSS JOIN dtot
+       |  GROUP BY 1
+       |), dw AS (
+       |  SELECT d.doc_id, coalesce(s.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |         CAST(coalesce(s.w, 0.0) AS REAL) AS dsir_logweight
+       |  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+       |  LEFT JOIN dsc s USING (doc_id)
+       |)""".stripMargin
 
   /** simhash64 in SQL: per-token FNV-1a hashes vote +-1 per bit; sign of the
     * vote is the output bit. Mirrors TextHashKernels.simhash64 exactly. */
@@ -1160,6 +1234,24 @@ object SparkEntry {
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM train tr LEFT JOIN hits h USING (doc_id)
         |ORDER BY tr.doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tokens, dsir_logweight FROM dw
+         |ORDER BY doc_id""".stripMargin,
+    "q_dsir_resample" ->
+      s"""WITH $dsirCtes, dg AS (
+         |  SELECT doc_id, n_tokens, dsir_logweight,
+         |    CAST(CAST(dsir_logweight AS DOUBLE) / 0.5
+         |      + (-ln(-ln((${signedPmodSql("ghu", 9007199254740992L)} + 1)
+         |                 / 9007199254740994.0))) AS REAL) AS gumbel_key
+         |  FROM (SELECT doc_id, n_tokens, dsir_logweight,
+         |          ${fnvHuSql("('dsir|' || CAST(doc_id AS VARCHAR))")} AS ghu
+         |        FROM dw)
+         |)
+         |SELECT * FROM (
+         |  SELECT doc_id, n_tokens, dsir_logweight, gumbel_key FROM dg
+         |  ORDER BY gumbel_key DESC, doc_id LIMIT 50
+         |) ORDER BY doc_id""".stripMargin,
     "kg_nodes" ->
       s"""$kgBaseCte, n AS (
          |  SELECT 'Person|' || person_key AS id, 'Person' AS entity_type,

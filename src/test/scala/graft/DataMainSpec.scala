@@ -235,6 +235,29 @@ class DataMainSpec extends AnyFunSuite {
       shingleN = 4))
   }
 
+  test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = Files.createTempDirectory("graft-dsir-cli").toString
+    docs.filter(col("source") === "src0").write.parquet(s"$tmp/target")
+    docs.filter(col("source") =!= "src0").write.parquet(s"$tmp/raw")
+    val cfg = graft.ops.Importance.DsirConfig(buckets = 128)
+    val out = cli("--op", "dsir-weights", "--in", s"$tmp/raw",
+      "--target", s"$tmp/target", "--buckets", "128")
+    assertCliEqualsLibrary(out, graft.ops.Importance.dsirWeights(
+      spark.read.parquet(s"$tmp/raw"), spark.read.parquet(s"$tmp/target"), cfg))
+    val out2 = cli("--op", "dsir-sample", "--in", s"$tmp/raw",
+      "--target", s"$tmp/target", "--buckets", "128", "--k", "20",
+      "--temperature", "0.5")
+    assertCliEqualsLibrary(out2, graft.ops.Importance.resampleTopK(
+      spark.read.parquet(s"$tmp/raw"), spark.read.parquet(s"$tmp/target"),
+      20, 0.5, cfg))
+    val e = intercept[IllegalArgumentException] {
+      DataMain.run(spark, "dsir-weights", s"$tmp/raw", Map.empty)
+    }
+    assert(e.getMessage.contains("--target"))
+  }
+
   test("unknown op and malformed fractions fail loudly, not silently") {
     val e = intercept[IllegalArgumentException] {
       DataMain.run(spark, "no-such-op", s"$sf/documents.parquet", Map.empty)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Dedup, DeltaDedup, Importance, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -22,7 +22,7 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Importance, Multimodal, Samp
   *                     embed-neardup | media-meta |
   *                     media-features | frame-sample |
   *                     asof-join | range-join | contamination |
-  *                     dsir-weights | dsir-sample              (required)
+  *                     dsir-weights | dsir-sample | dup-spans  (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -72,6 +72,8 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, Importance, Multimodal, Samp
   *   --target PATH     DSIR target (quality) corpus parquet    (required)
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
+  *   --window-w W / --min-docs D   dup-spans window tokens /
+  *                     distinct-doc threshold               [8 / 2]
   *   --budget W        pack-shards weight budget per shard    [100000000]
   *   --weight-col C    pack-shards weight column              [n_chars]
   *   --cores N         local master width     [8 / SPARK_GRAFT_CPUS]
@@ -216,6 +218,9 @@ object DataMain {
           throw new IllegalArgumentException("--benchmark is required for contamination")))
         Contamination.flagContaminated(df, bench, n("shingle-n", 6),
           s("id-col", "doc_id"), s("text-col", "text"))
+      case "dup-spans" =>
+        DupSpans.dupSpanStats(df, n("window-w", 8), n("min-docs", 2),
+          s("id-col", "doc_id"), s("text-col", "text"))
       case "dsir-weights" | "dsir-sample" =>
         val target = spark.read.parquet(args.getOrElse("target",
           throw new IllegalArgumentException(s"--target is required for $op")))
@@ -241,7 +246,7 @@ object DataMain {
     "right", "intervals", "benchmark", "keys", "ts-col", "tie-col",
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
-    "target", "buckets", "alpha", "temperature")
+    "target", "buckets", "alpha", "temperature", "window-w", "min-docs")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

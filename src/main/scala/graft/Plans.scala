@@ -334,6 +334,41 @@ object Plans {
       "Gumbel top-k is TakeOrderedAndProject, never a global sort" ->
         (s => s.contains("TakeOrderedAndProject")))
 
+    // --- duplicate-span detection (managed variant — the plain op seals
+    // behind a checkpoint): measured dup-window set broadcast under the
+    // gate, span merge is ONE window + doc-partitioned aggs, fingerprints
+    // (8 bytes) ride the shuffle -- never window strings ---
+    {
+      val m = graft.ops.DupSpans.dupSpanStatsManaged(
+        spark.read.parquet(s"$dir/documents.parquet"), windowW = 8)
+      audit("q_dup_spans", m.pairs, execute = true)(
+      "duplicated-window set broadcast into the position stream" ->
+        (s => s.contains("BroadcastHashJoin")),
+      "no cartesian / nested-loop products" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      // lag-flag + running-island-sum are two Window nodes (different
+      // frames), but they must PIPELINE over a single (doc, pos) Sort —
+      // no re-sort, no re-shuffle between them
+      "two pipelined Windows over ONE sort (gaps-and-islands merge)" ->
+        (s => {
+          // note: formatted AQE output puts node-detail headers AFTER the
+          // Initial Plan section, so assert on the final-plan TREE slice
+          val sec = s.split("Initial Plan")(0)
+          val ws = "Window \\(\\d+\\)".r.findAllMatchIn(sec).map(_.start).toList
+          ws.size == 2 && {
+            val between = sec.substring(ws(0), ws(1))
+            !between.contains("Exchange") && !between.contains("Sort (") &&
+              !between.contains("ShuffleRead")
+          }
+        }),
+      "partial hash aggregates (window counts + span rollups)" ->
+        (s => s.contains("HashAggregate") && s.contains("partial")),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+      m.free()
+    }
+
     println(s"\nTOTAL CHECK FAILURES: $failures")
     spark.stop()
   }

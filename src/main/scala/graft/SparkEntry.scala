@@ -688,6 +688,16 @@ object SparkEntry {
           docs.filter(col("source") === "src0"), 50, temperature = 0.5,
           graft.ops.Importance.DsirConfig(buckets = 256))
         .orderBy(col("doc_id"))
+    }),
+    // duplicate-SPAN detection (Lee et al. 2022): 8-token windows duplicated
+    // across >=2 distinct docs, merged per doc into contiguous spans; the
+    // oracle joins the raw window STRINGS, so it also proves the 64-bit
+    // fingerprint path collision-free on the fixture (the q_contamination
+    // posture)
+    "q_dup_spans" -> ((s, dir) => {
+      graft.ops.DupSpans.dupSpanStats(
+          s.read.parquet(s"$dir/documents.parquet"), windowW = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -720,6 +730,7 @@ object SparkEntry {
     "q_contamination" -> queries("q_contamination"),
     "q_dsir_weights" -> queries("q_dsir_weights"),
     "q_dsir_resample" -> queries("q_dsir_resample"),
+    "q_dup_spans" -> queries("q_dup_spans"),
     "q_repetition" -> queries("q_repetition"),
     "q_pack_shards" -> queries("q_pack_shards"),
     "q_knn" -> queries("q_knn"),
@@ -783,6 +794,7 @@ object SparkEntry {
     "q_contamination_10x" -> at10x("q_contamination"),
     "q_dsir_weights_10x" -> at10x("q_dsir_weights"),
     "q_dsir_resample_10x" -> at10x("q_dsir_resample"),
+    "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
 
   /** Rewrites a base-table oracle to read the 10× fixture parquet directly:
@@ -813,6 +825,7 @@ object SparkEntry {
       "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")),
       "q_dsir_weights_10x" -> retargetSql(oracleSqlBase("q_dsir_weights"), d, Seq("documents")),
       "q_dsir_resample_10x" -> retargetSql(oracleSqlBase("q_dsir_resample"), d, Seq("documents")),
+      "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
   }
 
@@ -1252,6 +1265,45 @@ object SparkEntry {
          |  SELECT doc_id, n_tokens, dsir_logweight, gumbel_key FROM dg
          |  ORDER BY gumbel_key DESC, doc_id LIMIT 50
          |) ORDER BY doc_id""".stripMargin,
+    // dup spans: DuckDB joins raw window STRINGS (Spark joins 8-byte FNV
+    // fingerprints), so equality also proves the fixture collision-free;
+    // islands merge when the position gap <= 8 (contiguous coverage), and
+    // every ratio is an exact integer-over-integer IEEE division
+    "q_dup_spans" ->
+      """WITH dtk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents
+        |), dws AS (
+        |  SELECT doc_id, CAST(pos AS INT) AS pos,
+        |         array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS wstr
+        |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS pos FROM dtk)
+        |), ddup AS (
+        |  SELECT wstr FROM dws GROUP BY wstr HAVING count(DISTINCT doc_id) >= 2
+        |), disl AS (
+        |  SELECT doc_id, pos,
+        |         sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM (SELECT dws.doc_id, dws.pos,
+        |          lag(dws.pos) OVER (PARTITION BY dws.doc_id ORDER BY dws.pos) AS prev
+        |        FROM dws JOIN ddup USING (wstr))
+        |), dspan AS (
+        |  SELECT doc_id, isl, min(pos) AS mn, max(pos) AS mx, count(*) AS nw
+        |  FROM disl GROUP BY 1, 2
+        |), dagg AS (
+        |  SELECT doc_id, sum(nw) AS n_dup_windows, count(*) AS n_dup_spans,
+        |         sum(mx - mn + 8) AS cov
+        |  FROM dspan GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(regexp_extract_all(lower(d.text), '\S+')) AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |       CAST(coalesce(a.cov, 0) AS DOUBLE)
+        |         / greatest(CAST(len(regexp_extract_all(lower(d.text), '\S+'))
+        |                         AS DOUBLE), 1.0) AS dup_token_frac
+        |FROM documents d LEFT JOIN dagg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "kg_nodes" ->
       s"""$kgBaseCte, n AS (
          |  SELECT 'Person|' || person_key AS id, 'Person' AS entity_type,

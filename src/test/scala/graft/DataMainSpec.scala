@@ -235,6 +235,13 @@ class DataMainSpec extends AnyFunSuite {
       shingleN = 4))
   }
 
+  test("dup-spans CLI == DupSpans library call") {
+    val out = cli("--op", "dup-spans", "--in", s"$sf/documents.parquet",
+      "--window-w", "6", "--min-docs", "2")
+    assertCliEqualsLibrary(out, graft.ops.DupSpans.dupSpanStats(
+      spark.read.parquet(s"$sf/documents.parquet"), windowW = 6))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

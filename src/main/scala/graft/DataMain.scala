@@ -22,7 +22,8 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, DupSpans, Importance, Multim
   *                     embed-neardup | media-meta |
   *                     media-features | frame-sample |
   *                     asof-join | range-join | contamination |
-  *                     dsir-weights | dsir-sample | dup-spans  (required)
+  *                     dsir-weights | dsir-sample | dup-spans |
+  *                     dup-spans-clean                         (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -72,8 +73,9 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, DupSpans, Importance, Multim
   *   --target PATH     DSIR target (quality) corpus parquet    (required)
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
-  *   --window-w W / --min-docs D   dup-spans window tokens /
-  *                     distinct-doc threshold               [8 / 2]
+  *   --window-w W / --min-docs D   dup-spans / dup-spans-clean
+  *                     window tokens / distinct-doc
+  *                     threshold                            [8 / 2]
   *   --budget W        pack-shards weight budget per shard    [100000000]
   *   --weight-col C    pack-shards weight column              [n_chars]
   *   --cores N         local master width     [8 / SPARK_GRAFT_CPUS]
@@ -220,6 +222,9 @@ object DataMain {
           s("id-col", "doc_id"), s("text-col", "text"))
       case "dup-spans" =>
         DupSpans.dupSpanStats(df, n("window-w", 8), n("min-docs", 2),
+          s("id-col", "doc_id"), s("text-col", "text"))
+      case "dup-spans-clean" =>
+        DupSpans.removeDupSpans(df, n("window-w", 8), n("min-docs", 2),
           s("id-col", "doc_id"), s("text-col", "text"))
       case "dsir-weights" | "dsir-sample" =>
         val target = spark.read.parquet(args.getOrElse("target",

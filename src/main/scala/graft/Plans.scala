@@ -369,6 +369,35 @@ object Plans {
       m.free()
     }
 
+    // --- duplicate-span REMOVAL (managed variant): same span core, plus a
+    // doc-keyed span-collect and the removal kernel join — must stay
+    // equi-join-shaped with the dup-window set broadcast under the gate ---
+    {
+      val m = graft.ops.DupSpans.removeDupSpansManaged(
+        spark.read.parquet(s"$dir/documents.parquet"), windowW = 8)
+      audit("q_dup_spans_clean", m.pairs, execute = true)(
+      "duplicated-window set broadcast into the position stream" ->
+        (s => s.contains("BroadcastHashJoin")),
+      "no cartesian / nested-loop products" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "two pipelined Windows over ONE sort (gaps-and-islands merge)" ->
+        (s => {
+          val sec = s.split("Initial Plan")(0)
+          val ws = "Window \\(\\d+\\)".r.findAllMatchIn(sec).map(_.start).toList
+          ws.size == 2 && {
+            val between = sec.substring(ws(0), ws(1))
+            !between.contains("Exchange") && !between.contains("Sort (") &&
+              !between.contains("ShuffleRead")
+          }
+        }),
+      "span collect is a doc-keyed objectHashAggregate (never a global sort)" ->
+        (s => s.contains("ObjectHashAggregate")),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+      m.free()
+    }
+
     println(s"\nTOTAL CHECK FAILURES: $failures")
     spark.stop()
   }

@@ -698,6 +698,14 @@ object SparkEntry {
       graft.ops.DupSpans.dupSpanStats(
           s.read.parquet(s"$dir/documents.parquet"), windowW = 8)
         .orderBy(col("doc_id"))
+    }),
+    // the removal half of Lee et al. 2022: cleaned corpus with every
+    // duplicated span excised; the oracle rebuilds clean_text token-by-token
+    // in DuckDB, so the compare is an exact STRING match per document
+    "q_dup_spans_clean" -> ((s, dir) => {
+      graft.ops.DupSpans.removeDupSpans(
+          s.read.parquet(s"$dir/documents.parquet"), windowW = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -731,6 +739,7 @@ object SparkEntry {
     "q_dsir_weights" -> queries("q_dsir_weights"),
     "q_dsir_resample" -> queries("q_dsir_resample"),
     "q_dup_spans" -> queries("q_dup_spans"),
+    "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
     "q_pack_shards" -> queries("q_pack_shards"),
     "q_knn" -> queries("q_knn"),
@@ -795,6 +804,7 @@ object SparkEntry {
     "q_dsir_weights_10x" -> at10x("q_dsir_weights"),
     "q_dsir_resample_10x" -> at10x("q_dsir_resample"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
+    "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
 
   /** Rewrites a base-table oracle to read the 10× fixture parquet directly:
@@ -826,6 +836,7 @@ object SparkEntry {
       "q_dsir_weights_10x" -> retargetSql(oracleSqlBase("q_dsir_weights"), d, Seq("documents")),
       "q_dsir_resample_10x" -> retargetSql(oracleSqlBase("q_dsir_resample"), d, Seq("documents")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
+      "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
   }
 
@@ -1303,6 +1314,41 @@ object SparkEntry {
         |         / greatest(CAST(len(regexp_extract_all(lower(d.text), '\S+'))
         |                         AS DOUBLE), 1.0) AS dup_token_frac
         |FROM documents d LEFT JOIN dagg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // span REMOVAL: clean_text is rebuilt token-by-token (original case,
+    // single-space joined — the op's documented whitespace normalization);
+    // within-island window coverages are overlapping-or-adjacent, so the
+    // DISTINCT union of per-window coverage equals the merged-span coverage
+    "q_dup_spans_clean" ->
+      """WITH dtk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ot,
+        |         regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents
+        |), dws AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(list_slice(ts, CAST(pos AS INT) + 1,
+        |                                    CAST(pos AS INT) + 8), ' ') AS wstr
+        |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 7)) AS pos FROM dtk)
+        |), ddup AS (
+        |  SELECT wstr FROM dws GROUP BY wstr HAVING count(DISTINCT doc_id) >= 2
+        |), dcov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
+        |  FROM dws JOIN ddup USING (wstr)
+        |), tok AS (
+        |  SELECT doc_id, pos, ot[CAST(pos AS INT) + 1] AS tok
+        |  FROM (SELECT doc_id, ot, unnest(range(0, len(ot))) AS pos FROM dtk)
+        |), kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM tok t LEFT JOIN dcov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+        |  WHERE c.cp IS NULL
+        |), cagg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN cagg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "kg_nodes" ->
       s"""$kgBaseCte, n AS (

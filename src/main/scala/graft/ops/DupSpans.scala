@@ -81,12 +81,14 @@ object DupSpans {
     out
   }
 
-  /** Lazy variant: the returned frame references the internal eager
-    * checkpoint of the measured duplicated-window set — call `free()` only
-    * after materializing (the [[Dedup.ManagedPairs]] contract). */
-  def dupSpanStatsManaged(docs: DataFrame, windowW: Int = 8, minDocs: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text",
-      maxBroadcastRows: Long = 50000000L): Dedup.ManagedPairs = {
+  /** Merged duplicated spans per doc (`idCol, __isl, __mn, __mx, __nw`):
+    * the gaps-and-islands core shared by the stats and removal ops.
+    * Islands are DISJOINT in token coverage (a new island opens only when
+    * the gap exceeds `w`, i.e. the next window starts past the previous
+    * coverage end), so downstream coverage sums never double-count. */
+  private def spans(docs: DataFrame, windowW: Int, minDocs: Int,
+      idCol: String, textCol: String, maxBroadcastRows: Long)
+      : Dedup.ManagedPairs = {
     require(windowW >= 1, s"windowW must be >= 1: $windowW")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val wins = windows(docs, idCol, textCol, windowW)
@@ -109,10 +111,21 @@ object DupSpans {
       .withColumn("__isl", sum(
         when(prev.isNull || col("pos") - prev > windowW, 1).otherwise(0))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = isl.groupBy(col(idCol), col("__isl"))
+    val sp = isl.groupBy(col(idCol), col("__isl"))
       .agg(min(col("pos")).as("__mn"), max(col("pos")).as("__mx"),
         count(lit(1)).as("__nw"))
-    val perDoc = spans.groupBy(col(idCol))
+    Dedup.ManagedPairs(sp, () => { dupSet.unpersist(); () })
+  }
+
+  /** Lazy variant: the returned frame references the internal eager
+    * checkpoint of the measured duplicated-window set — call `free()` only
+    * after materializing (the [[Dedup.ManagedPairs]] contract). */
+  def dupSpanStatsManaged(docs: DataFrame, windowW: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastRows: Long = 50000000L): Dedup.ManagedPairs = {
+    val m = spans(docs, windowW, minDocs, idCol, textCol, maxBroadcastRows)
+    val spansDf = m.pairs
+    val perDoc = spansDf.groupBy(col(idCol))
       .agg(sum(col("__nw")).as("n_dup_windows"),
         count(lit(1)).as("n_dup_spans"),
         sum(col("__mx") - col("__mn") + windowW).cast("long").as("__cov"))
@@ -124,6 +137,78 @@ object DupSpans {
       .withColumn("dup_token_frac", col("__cov").cast("double")
         / greatest(col("n_tokens").cast("double"), lit(1.0)))
       .drop("__cov")
-    Dedup.ManagedPairs(out, () => { dupSet.unpersist(); () })
+    Dedup.ManagedPairs(out, m.free)
+  }
+
+  /** One-pass removal kernel: drops every token whose position falls inside
+    * a merged span `[mn, mn+len)`; spans arrive sorted and disjoint. Output
+    * is the surviving ORIGINAL-case tokens joined by single spaces (i.e.
+    * whitespace is normalized for untouched docs too — documented below). */
+  private[ops] def removeKernel(text: String, mns: Array[Int],
+      lens: Array[Int]): (String, Long) = {
+    val toks = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+    if (mns == null || mns.isEmpty) return (toks.mkString(" "), toks.length.toLong)
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var si = 0
+    var i = 0
+    while (i < toks.length) {
+      while (si < mns.length && i >= mns(si) + lens(si)) si += 1
+      val covered = si < mns.length && i >= mns(si)
+      if (!covered) {
+        if (kept > 0L) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1L
+      }
+      i += 1
+    }
+    (sb.toString, kept)
+  }
+
+  /** The removal half of Lee et al. 2022 ("ExactSubstr" dedup): delete every
+    * token covered by a cross-doc duplicated span (same spans as
+    * [[dupSpanStats]]) and return the cleaned corpus —
+    * `(idCol, clean_text, n_kept)`, one row per input doc.
+    *
+    * `clean_text` is the surviving original-case tokens joined by single
+    * spaces: tokenization is whitespace-normalizing, so an untouched doc
+    * round-trips to `split("\\s+").mkString(" ")` of itself (exact-string
+    * oracle-able; original inter-token whitespace is not preserved).
+    *
+    * Scale posture: spans per doc are disjoint and each covers >= `windowW`
+    * tokens, so the collected span list is <= n_tokens/windowW entries —
+    * strictly smaller than the text already on the row; the collect +
+    * removal join reuses the doc-id partitioning from the span merge. */
+  def removeDupSpans(docs: DataFrame, windowW: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastRows: Long = 50000000L): DataFrame = {
+    val m = removeDupSpansManaged(docs, windowW, minDocs, idCol, textCol,
+      maxBroadcastRows)
+    val out = m.pairs.localCheckpoint(eager = true)
+    m.free()
+    out
+  }
+
+  /** [[removeDupSpans]] as a [[Dedup.ManagedPairs]] (lazy plan + explicit
+    * free of the duplicated-window-set checkpoint). */
+  def removeDupSpansManaged(docs: DataFrame, windowW: Int = 8,
+      minDocs: Int = 2, idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastRows: Long = 50000000L): Dedup.ManagedPairs = {
+    val m = spans(docs, windowW, minDocs, idCol, textCol, maxBroadcastRows)
+    // sorted disjoint (start, len) arrays; len = mx - mn + windowW
+    val perDoc = m.pairs.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__mn").as("mn"),
+        (col("__mx") - col("__mn") + windowW).as("ln")))).as("__sp"))
+    val k = udf((text: String, sp: Seq[org.apache.spark.sql.Row]) => {
+      val (mns, lens) =
+        if (sp == null) (Array.empty[Int], Array.empty[Int])
+        else (sp.map(_.getInt(0)).toArray, sp.map(_.getInt(1)).toArray)
+      removeKernel(text, mns, lens)
+    })
+    val out = docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("__r", k(col(textCol), col("__sp")))
+      .select(col(idCol), col("__r._1").as("clean_text"),
+        col("__r._2").as("n_kept"))
+    Dedup.ManagedPairs(out, m.free)
   }
 }

@@ -242,6 +242,13 @@ class DataMainSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet"), windowW = 6))
   }
 
+  test("dup-spans-clean CLI == DupSpans.removeDupSpans library call") {
+    val out = cli("--op", "dup-spans-clean", "--in", s"$sf/documents.parquet",
+      "--window-w", "6")
+    assertCliEqualsLibrary(out, graft.ops.DupSpans.removeDupSpans(
+      spark.read.parquet(s"$sf/documents.parquet"), windowW = 6))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

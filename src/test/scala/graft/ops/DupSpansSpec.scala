@@ -89,6 +89,62 @@ class DupSpansSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  /** brute-force removal: drop original-case tokens covered by islands. */
+  private def bruteRemove(rows: Seq[(Long, String)], w: Int, minDocs: Int)
+      : Map[Long, (String, Long)] = {
+    def ltoks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def otoks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+    val wins = rows.flatMap { case (id, t) =>
+      ltoks(t).sliding(w).filter(_.length == w).zipWithIndex
+        .map { case (win, pos) => (id, pos, win.mkString(" ")) }
+    }
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= minDocs)
+      .keySet
+    rows.map { case (id, t) =>
+      val covered = wins.collect {
+        case (`id`, p, s) if dup(s) => p until (p + w)
+      }.flatten.toSet
+      val kept = otoks(t).zipWithIndex.collect {
+        case (tok, i) if !covered(i) => tok
+      }
+      id -> ((kept.mkString(" "), kept.length.toLong))
+    }.toMap
+  }
+
+  private def runRemove(w: Int, maxBroadcastRows: Long = 50000000L)
+      : Map[Long, (String, Long)] =
+    DupSpans.removeDupSpans(docs, windowW = w,
+        maxBroadcastRows = maxBroadcastRows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("removeDupSpans == brute-force token removal (w=8 and w=4)") {
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val got8 = runRemove(w = 8)
+    assert(got8 == bruteRemove(rows, w = 8, minDocs = 2))
+    assert(runRemove(w = 4) == bruteRemove(rows, w = 4, minDocs = 2))
+    // planted structure: boilerplate excised from docs 1-3, doc 4 untouched
+    // (whitespace-normalized), doc 5 empty, internal-repeat doc 9 untouched
+    assert(got8(1L)._1 == "alpha beta tail one two")
+    assert(got8(2L)._1 == "something else entirely here now")
+    assert(got8(4L)._1 == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    assert(got8(5L) == (("", 0L)))
+    assert(got8(9L)._2 == 18L)
+  }
+
+  test("removal stats reconcile with dupSpanStats coverage") {
+    val stats = run(w = 8)
+    val rem = runRemove(w = 8)
+    stats.foreach { case (id, (nTok, _, _, frac)) =>
+      val covered = nTok - rem(id)._2
+      assert(math.abs(frac - covered.toDouble / math.max(nTok, 1)) < 1e-12,
+        s"doc $id: frac=$frac covered=$covered nTok=$nTok")
+    }
+  }
+
+  test("removal keyed-join path (broadcast gate off) matches the default") {
+    assert(runRemove(w = 8, maxBroadcastRows = 0L) == runRemove(w = 8))
+  }
+
   test("config guards throw") {
     intercept[IllegalArgumentException](DupSpans.dupSpanStats(docs, windowW = 0))
     intercept[IllegalArgumentException](

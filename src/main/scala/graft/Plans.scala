@@ -369,6 +369,28 @@ object Plans {
       m.free()
     }
 
+    // --- brute-force ANN (r5 partial-top-k rewrite): the Q x N scored
+    // cross product must NEVER materialize as rows — per-partition bounded
+    // heaps emit Q x partitions x k candidates, and only that tiny union
+    // takes the global window rank ---
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      audit("q_knn", graft.ops.Similarity.bruteForceTopK(emb, qs, 10),
+          execute = true)(
+      "partial top-k kernel (MapPartitions), no cross join" ->
+        (s => s.contains("MapPartitions") && !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "exactly one Window (global rank over the candidate union only)" ->
+        (s => {
+          val sec = s.split("Initial Plan")(0)
+          "Window \\(\\d+\\)".r.findAllMatchIn(sec).size == 1
+        }),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+    }
+
     // --- duplicate-span REMOVAL (managed variant): same span core, plus a
     // doc-keyed span-collect and the removal kernel join — must stay
     // equi-join-shaped with the dup-window set broadcast under the gate ---

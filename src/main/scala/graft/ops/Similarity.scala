@@ -74,11 +74,93 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query row.
-    * `queries` must have (query_id, q_embedding). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
+    * `queries` must have (query_id, q_embedding).
+    *
+    * Plan (r5 rewrite): the query matrix is measured and — under
+    * `maxDriverQueries` rows — shipped to executors once; each corpus
+    * partition keeps a bounded per-query heap of its LOCAL top-k, so only
+    * Q×partitions×k candidate rows ever shuffle, never the Q×N scored
+    * cross product (the previous windowed plan shuffled+sorted 8M scored
+    * rows at the 10× bench point to rank 4k survivors; at 100 TB the Q×N
+    * shuffle is unrunnable while Q×P×k is trivially mergeable). A local
+    * top-k under the strict total order (cos desc, vec_id asc) always
+    * contains every global top-k member, and the tiny candidate union then
+    * takes the exact global window rank — output (values, ranks AND
+    * tie-breaks) is identical to the naive plan, which remains as the
+    * over-gate fallback for query sets too large to ship whole. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxDriverQueries: Long = 2000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qcnt = queries.count()
+    val scored = if (qcnt <= maxDriverQueries) {
+      val qs = queries
+        .select(col("query_id").cast("long"), col("q_embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => (id, v.toArray[Float]) }
+      val bc = spark.sparkContext.broadcast(qs)
+      corpus.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val q = bc.value
+          val nq = q.length
+          // array-specialized dot, same accumulation order as dotKernel —
+          // with the norms PRECOMPUTED (once per query, once per corpus
+          // row) the cosine is the identical IEEE expression
+          // dot/(sqrt(aa)*sqrt(bb)) at a third of the multiplies
+          def dotA(a: Array[Float], b: Array[Float]): Double = {
+            var acc = 0.0; var i = 0; val n = math.min(a.length, b.length)
+            while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+            acc
+          }
+          val qn = q.map(p => math.sqrt(dotA(p._2, p._2)))
+          val hc = Array.fill(nq)(new Array[Double](k))
+          val hi = Array.fill(nq)(new Array[Long](k))
+          val hn = new Array[Int](nq)
+          val worst = new Array[Int](nq)
+          // strict total order: better = higher cos, ties to smaller vec_id
+          def worseThan(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+            c1 < c2 || (c1 == c2 && i1 > i2)
+          def rescanWorst(qi: Int): Unit = {
+            var w = 0; var j = 1
+            while (j < k) {
+              if (worseThan(hc(qi)(j), hi(qi)(j), hc(qi)(w), hi(qi)(w))) w = j
+              j += 1
+            }
+            worst(qi) = w
+          }
+          it.foreach { case (vid, vecSeq) =>
+            val vec = vecSeq.toArray[Float]
+            val vn = math.sqrt(dotA(vec, vec))
+            var qi = 0
+            while (qi < nq) {
+              val qid = q(qi)._1
+              if (qid != vid) {
+                val c = dotA(q(qi)._2, vec) / (qn(qi) * vn)
+                val n = hn(qi)
+                if (n < k) {
+                  hc(qi)(n) = c; hi(qi)(n) = vid; hn(qi) = n + 1
+                  if (n + 1 == k) rescanWorst(qi)
+                } else {
+                  val w = worst(qi)
+                  if (worseThan(hc(qi)(w), hi(qi)(w), c, vid)) {
+                    hc(qi)(w) = c; hi(qi)(w) = vid; rescanWorst(qi)
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until hn(qi)).iterator.map(j => (q(qi)._1, hi(qi)(j), hc(qi)(j)))
+          }
+        }.toDF("query_id", "vec_id", "cos")
+    } else {
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

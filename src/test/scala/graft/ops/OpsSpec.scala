@@ -360,6 +360,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("brute-force partial-top-k kernel == windowed cross-join fallback") {
+    // maxDriverQueries = 0 forces the over-gate naive plan; the default
+    // takes the per-partition heap path — outputs must be IDENTICAL
+    // (values, ranks, tie-breaks), including under a different input split
+    val a = Similarity.bruteForceTopK(corpus, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.bruteForceTopK(corpus, queries, 5, maxDriverQueries = 0L)
+      .orderBy("query_id", "rank").collect().toSeq
+    val c = Similarity.bruteForceTopK(corpus.repartition(7), queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+    assert(a == c)
+  }
+
   test("cosine column expression matches scala computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -23,7 +23,7 @@ import graft.ops.{Contamination, Dedup, DeltaDedup, DupSpans, Importance, Multim
   *                     media-features | frame-sample |
   *                     asof-join | range-join | contamination |
   *                     dsir-weights | dsir-sample | dup-spans |
-  *                     dup-spans-clean                         (required)
+  *                     dup-spans-clean | curate                (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -223,6 +223,10 @@ object DataMain {
       case "dup-spans" =>
         DupSpans.dupSpanStats(df, n("window-w", 8), n("min-docs", 2),
           s("id-col", "doc_id"), s("text-col", "text"))
+      case "curate" =>
+        val bench = spark.read.parquet(args.getOrElse("benchmark",
+          throw new IllegalArgumentException("--benchmark is required for curate")))
+        Curate.curate(df, bench)
       case "dup-spans-clean" =>
         DupSpans.removeDupSpans(df, n("window-w", 8), n("min-docs", 2),
           s("id-col", "doc_id"), s("text-col", "text"))

@@ -391,6 +391,29 @@ object Plans {
         (s => !s.toLowerCase.contains("lambdafunction")))
     }
 
+    // --- composed curation decision table: the near-dup and contamination
+    // internals are SEALED (audited separately above), so this plan must be
+    // pure map-side signal computation + ONE window (the exact-dup keep)
+    // + doc-keyed equi-joins — nothing else ---
+    {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      audit("q_curate", graft.ops.Curate.curate(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0)), execute = true)(
+      "no cartesian / nested-loop products" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "exactly one Window (the exact-dup min-id keep)" ->
+        (s => {
+          val sec = s.split("Initial Plan")(0)
+          "Window \\(\\d+\\)".r.findAllMatchIn(sec).size == 1
+        }),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")),
+      "filters pushed into the parquet scan" ->
+        (s => s.contains("PushedFilters: [")))
+    }
+
     // --- duplicate-span REMOVAL (managed variant): same span core, plus a
     // doc-keyed span-collect and the removal kernel join — must stay
     // equi-join-shaped with the dup-window set broadcast under the gate ---

@@ -706,6 +706,17 @@ object SparkEntry {
       graft.ops.DupSpans.removeDupSpans(
           s.read.parquet(s"$dir/documents.parquet"), windowW = 8)
         .orderBy(col("doc_id"))
+    }),
+    // one-call curation decision table: every filter stage's verdict as a
+    // column (exact/near-dup reps, decontamination vs the %25 benchmark
+    // slice, quality + repetition gates) — the oracle recomputes ALL of it
+    // relationally, including the recursive-CTE connected components
+    "q_curate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Curate.curate(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1350,6 +1361,122 @@ object SparkEntry {
         |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM documents d LEFT JOIN cagg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // composed curation oracle: each stage's CTEs are copied from the
+    // already-proven component oracles (q_dedup_exact's md5 keep rule,
+    // q_doc_groups' recursive CC, q_contamination's 4-shingle hits,
+    // q_quality's original-case ratios, q_repetition's lowercased n-gram
+    // fractions); gate thresholds are decimal literals that parse to the
+    // identical doubles in Scala and DuckDB, and every compared ratio is an
+    // exact integer-over-integer division — so the booleans reproduce
+    "q_curate" ->
+      """WITH RECURSIVE tr AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+        |), cbench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        |), ex AS (
+        |  SELECT doc_id,
+        |         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+        |  FROM tr
+        |), ltk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts FROM tr
+        |), shing AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN ts
+        |    ELSE list_transform(range(1, len(ts) - 1),
+        |                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END) AS s
+        |  FROM ltk
+        |), prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS inter,
+        |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+        |  FROM shing a, shing b WHERE a.doc_id < b.doc_id
+        |), jp AS (
+        |  SELECT doc_a, doc_b FROM prs
+        |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM jp
+        |  UNION SELECT doc_b, doc_a FROM jp
+        |), reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+        |), allr AS (
+        |  SELECT a, b FROM reach UNION SELECT a, a FROM e
+        |), grp AS (
+        |  SELECT a AS doc_id, min(b) AS group_rep FROM allr GROUP BY a
+        |), tsh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(ts) < 4 THEN ts
+        |      ELSE list_transform(range(1, len(ts)-4+2),
+        |                          i -> array_to_string(ts[i:i+3], ' ')) END) AS sh
+        |    FROM ltk)
+        |), bsh AS (
+        |  SELECT DISTINCT sh FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 4 THEN toks
+        |      ELSE list_transform(range(1, len(toks)-4+2),
+        |                          i -> array_to_string(toks[i:i+3], ' ')) END) AS sh
+        |    FROM (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM cbench))
+        |), hits AS (
+        |  SELECT t.doc_id, count(*) AS n_hits FROM tsh t JOIN bsh b USING (sh)
+        |  GROUP BY 1
+        |), qt AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS DOUBLE) AS n_chars,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
+        |  FROM tr
+        |), qu AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         punct / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE)
+        |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio
+        |  FROM qt
+        |), rbase AS (
+        |  SELECT doc_id, len(ts) AS n, len(list_distinct(ts)) AS nd FROM ltk
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM ltk WHERE len(ts) >= 2
+        |), bgc AS (
+        |  SELECT doc_id, max(c) AS topc
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+        |), tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM ltk WHERE len(ts) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, count(*) AS cnt, count(DISTINCT g) AS dist FROM tg GROUP BY 1
+        |), rep AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.n = 0 THEN 0.0
+        |         ELSE CAST(b.n - b.nd AS DOUBLE) / b.n END AS dup_word_frac,
+        |    CASE WHEN bgc.topc IS NULL THEN 0.0
+        |         ELSE CAST(bgc.topc AS DOUBLE) / (b.n - 1) END AS top_bigram_frac,
+        |    CASE WHEN tgc.cnt IS NULL THEN 0.0
+        |         ELSE CAST(tgc.cnt - tgc.dist AS DOUBLE) / tgc.cnt END AS dup_trigram_frac
+        |  FROM rbase b LEFT JOIN bgc USING (doc_id) LEFT JOIN tgc USING (doc_id)
+        |)
+        |SELECT tr.doc_id, qu.n_tokens, ex.keep_exact,
+        |       (grp.group_rep IS NULL OR grp.group_rep = tr.doc_id) AS keep_neardup,
+        |       coalesce(hits.n_hits, 0) = 0 AS clean_contam,
+        |       (qu.n_tokens >= 15 AND qu.punct_ratio <= 0.2
+        |        AND qu.distinct_ratio >= 0.35) AS pass_quality,
+        |       (rep.dup_word_frac <= 0.65 AND rep.top_bigram_frac <= 0.08
+        |        AND rep.dup_trigram_frac <= 0.01) AS pass_repetition,
+        |       (ex.keep_exact
+        |        AND (grp.group_rep IS NULL OR grp.group_rep = tr.doc_id)
+        |        AND coalesce(hits.n_hits, 0) = 0
+        |        AND qu.n_tokens >= 15 AND qu.punct_ratio <= 0.2
+        |        AND qu.distinct_ratio >= 0.35
+        |        AND rep.dup_word_frac <= 0.65 AND rep.top_bigram_frac <= 0.08
+        |        AND rep.dup_trigram_frac <= 0.01) AS kept
+        |FROM tr
+        |JOIN ex USING (doc_id)
+        |LEFT JOIN grp ON grp.doc_id = tr.doc_id
+        |LEFT JOIN hits ON hits.doc_id = tr.doc_id
+        |JOIN qu USING (doc_id)
+        |JOIN rep USING (doc_id)
+        |ORDER BY tr.doc_id""".stripMargin,
     "kg_nodes" ->
       s"""$kgBaseCte, n AS (
          |  SELECT 'Person|' || person_key AS id, 'Person' AS entity_type,

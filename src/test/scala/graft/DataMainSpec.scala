@@ -249,6 +249,16 @@ class DataMainSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet"), windowW = 6))
   }
 
+  test("curate CLI == Curate library call (benchmark flag required)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = cli("--op", "curate", "--in", s"$sf/documents.parquet",
+      "--benchmark", s"$sf/documents.parquet")
+    assertCliEqualsLibrary(out, graft.ops.Curate.curate(docs, docs))
+    intercept[IllegalArgumentException](graft.DataMain.run(spark, "curate",
+      s"$sf/documents.parquet", Map.empty))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Perplexity, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -23,7 +23,7 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     media-features | frame-sample |
   *                     asof-join | range-join | contamination |
   *                     dsir-weights | dsir-sample | dup-spans |
-  *                     dup-spans-clean | curate                (required)
+  *                     dup-spans-clean | curate | lm-score     (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -230,6 +230,10 @@ object DataMain {
       case "dup-spans-clean" =>
         DupSpans.removeDupSpans(df, n("window-w", 8), n("min-docs", 2),
           s("id-col", "doc_id"), s("text-col", "text"))
+      case "lm-score" =>
+        val target = spark.read.parquet(args.getOrElse("target",
+          throw new IllegalArgumentException("--target is required for lm-score")))
+        Perplexity.lmScore(df, target, f("add-k", 1.0))
       case "dsir-weights" | "dsir-sample" =>
         val target = spark.read.parquet(args.getOrElse("target",
           throw new IllegalArgumentException(s"--target is required for $op")))
@@ -255,7 +259,8 @@ object DataMain {
     "right", "intervals", "benchmark", "keys", "ts-col", "tie-col",
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
-    "target", "buckets", "alpha", "temperature", "window-w", "min-docs")
+    "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
+    "add-k")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

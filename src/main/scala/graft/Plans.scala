@@ -391,6 +391,28 @@ object Plans {
         (s => !s.toLowerCase.contains("lambdafunction")))
     }
 
+    // --- bigram-LM perplexity: the count tables (O(target tokens) rows)
+    // must broadcast into the raw-corpus bigram scan — the corpus NEVER
+    // shuffles to meet them — and the per-doc score is a partial+final
+    // hash aggregate (the DSIR plan shape with bigram context) ---
+    {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val m = graft.ops.Perplexity.lmScoreManaged(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+      audit("q_lm_ppl", m.pairs, execute = true)(
+      "count tables broadcast into the bigram scan" ->
+        (s => s.contains("BroadcastHashJoin")),
+      "no cartesian / nested-loop products" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "partial hash aggregate for the per-doc score" ->
+        (s => s.contains("HashAggregate") && s.contains("partial")),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+      m.free()
+    }
+
     // --- composed curation decision table: the near-dup and contamination
     // internals are SEALED (audited separately above), so this plan must be
     // pure map-side signal computation + ONE window (the exact-dup keep)

@@ -707,6 +707,17 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), windowW = 8)
         .orderBy(col("doc_id"))
     }),
+    // CCNet-style perplexity filter: add-1 bigram LM trained on the %25
+    // target slice, scoring the train slice; the oracle recomputes counts
+    // from raw bigram STRINGS (collision proof) and both engines publish
+    // the log-prob sum as float32 (the DSIR determinism contract)
+    "q_lm_ppl" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Perplexity.lmScore(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0))
+        .orderBy(col("doc_id"))
+    }),
     // one-call curation decision table: every filter stage's verdict as a
     // column (exact/near-dup reps, decontamination vs the %25 benchmark
     // slice, quality + repetition gates) — the oracle recomputes ALL of it
@@ -749,6 +760,7 @@ object SparkEntry {
     "q_contamination" -> queries("q_contamination"),
     "q_dsir_weights" -> queries("q_dsir_weights"),
     "q_dsir_resample" -> queries("q_dsir_resample"),
+    "q_lm_ppl" -> queries("q_lm_ppl"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -814,6 +826,7 @@ object SparkEntry {
     "q_contamination_10x" -> at10x("q_contamination"),
     "q_dsir_weights_10x" -> at10x("q_dsir_weights"),
     "q_dsir_resample_10x" -> at10x("q_dsir_resample"),
+    "q_lm_ppl_10x" -> at10x("q_lm_ppl"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -846,6 +859,7 @@ object SparkEntry {
       "q_contamination_10x" -> retargetSql(oracleSqlBase("q_contamination"), d, Seq("documents")),
       "q_dsir_weights_10x" -> retargetSql(oracleSqlBase("q_dsir_weights"), d, Seq("documents")),
       "q_dsir_resample_10x" -> retargetSql(oracleSqlBase("q_dsir_resample"), d, Seq("documents")),
+      "q_lm_ppl_10x" -> retargetSql(oracleSqlBase("q_lm_ppl"), d, Seq("documents")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
@@ -1361,6 +1375,53 @@ object SparkEntry {
         |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM documents d LEFT JOIN cagg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // bigram-LM perplexity: counts re-derived from raw token STRINGS; the
+    // history count c1 counts tokens in bigram-opening positions (exactly
+    // what the engine's bigram-stream aggregation counts); ln of exact
+    // rationals summed then published as float32 on BOTH sides, and
+    // lm_ppl recomputed FROM the published float (ulp + sum-order absorbed)
+    "q_lm_ppl" ->
+      """WITH tgt AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), tr AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE doc_id % 25 <> 0
+        |), uni AS (
+        |  SELECT w, count(*) AS c1 FROM (
+        |    SELECT ts[CAST(i AS INT)] AS w
+        |    FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tgt))
+        |  GROUP BY 1
+        |), vv AS (
+        |  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM tgt)
+        |), big AS (
+        |  SELECT g, count(*) AS c2 FROM (
+        |    SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS g
+        |    FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tgt))
+        |  GROUP BY 1
+        |), db AS (
+        |  SELECT doc_id, ts[CAST(i AS INT)] AS w,
+        |         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS g
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM tr)
+        |), sc AS (
+        |  SELECT db.doc_id, count(*) AS n,
+        |         sum(ln((coalesce(big.c2, 0) + 1.0)
+        |                / (coalesce(uni.c1, 0) + 1.0 * vv.v))) AS lp
+        |  FROM db CROSS JOIN vv
+        |  LEFT JOIN uni ON db.w = uni.w
+        |  LEFT JOIN big ON db.g = big.g
+        |  GROUP BY 1
+        |), pub AS (
+        |  SELECT t.doc_id,
+        |         CAST(coalesce(sc.n, 0) AS BIGINT) AS n_bigrams,
+        |         CAST(coalesce(sc.lp, 0.0) AS REAL) AS lm_logprob
+        |  FROM tr t LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |)
+        |SELECT doc_id, n_bigrams, lm_logprob,
+        |       CASE WHEN n_bigrams > 0 THEN
+        |         CAST(exp(-CAST(lm_logprob AS DOUBLE) / n_bigrams) AS REAL)
+        |       END AS lm_ppl
+        |FROM pub ORDER BY doc_id""".stripMargin,
     // composed curation oracle: each stage's CTEs are copied from the
     // already-proven component oracles (q_dedup_exact's md5 keep rule,
     // q_doc_groups' recursive CC, q_contamination's 4-shingle hits,

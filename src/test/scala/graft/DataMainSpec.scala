@@ -259,6 +259,16 @@ class DataMainSpec extends AnyFunSuite {
       s"$sf/documents.parquet", Map.empty))
   }
 
+  test("lm-score CLI == Perplexity library call (target flag required)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = cli("--op", "lm-score", "--in", s"$sf/documents.parquet",
+      "--target", s"$sf/documents.parquet", "--add-k", "0.5")
+    assertCliEqualsLibrary(out, graft.ops.Perplexity.lmScore(docs, docs, 0.5))
+    intercept[IllegalArgumentException](graft.DataMain.run(spark, "lm-score",
+      s"$sf/documents.parquet", Map.empty))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

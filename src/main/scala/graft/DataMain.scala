@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Perplexity, Sampling, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Perplexity, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -19,7 +19,7 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     pack-shards | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
-  *                     embed-neardup | media-meta |
+  *                     embed-neardup | semdedup | media-meta |
   *                     media-features | frame-sample |
   *                     asof-join | range-join | contamination |
   *                     dsir-weights | dsir-sample | dup-spans |
@@ -27,8 +27,10 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
-  *   --threshold T     jaccard (pair ops) / cosine (embed-neardup)
-  *                     [0.5 / 0.9]
+  *   --threshold T     jaccard (pair ops) / cosine (embed-neardup,
+  *                     semdedup)                               [0.5 / 0.9]
+  *   --assign N / --max-cluster M   semdedup centroids per vector
+  *                     (recall knob) / per-cluster kernel cap  [2 / 20000]
   *   --corpus PATH     accumulated-corpus parquet (delta ops; --in is
   *                     the NEW batch)                         (required)
   *   --state DIR       persisted dedup state dir (dedup-ingest: --in is
@@ -189,6 +191,10 @@ object DataMain {
       case "embed-neardup" => Similarity.cosineNearDupPairs(df,
         f("threshold", 0.9),
         Similarity.LshConfig(tables = n("tables", 8), bits = n("bits", 10)))
+      case "semdedup" => SemDedup.decisions(df, SemDedup.Config(
+        nLists = n("n-lists", 16), kmeansIters = n("kmeans-iters", 3),
+        assign = n("assign", 2), threshold = f("threshold", 0.9),
+        maxCluster = n("max-cluster", 20000)))
       case "media-meta" => Multimodal.mediaFromDocuments(df)
         .select(col("media_id"), col("media_type"),
           length(col("payload")).as("n_bytes"),
@@ -260,7 +266,7 @@ object DataMain {
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
-    "add-k")
+    "add-k", "assign", "max-cluster")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -245,6 +245,19 @@ object Plans {
       "no pair-distinct aggregate (first-collision dedup inside the bucket kernel)" ->
         (s => !s.split("Initial Plan")(0).contains("HashAggregate")))
 
+    // --- SemDeDup: the k-means clustering IS the blocking — the pair
+    // kernel is a cluster-keyed flatMapGroups and every downstream join is
+    // keyed, so a cartesian/nested-loop anywhere means the blocking leaked;
+    // the corpus side of the decision join must stay an id-only scan (the
+    // embedding arrays ride only the one clustering shuffle) ---
+    audit("q_semdedup", SparkEntry.queries("q_semdedup")(spark, dir),
+      execute = true)(
+      "no cartesian/nested-loop product (cluster-keyed kernel + keyed joins)" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "decision-join corpus side is an id-only pruned scan (no embedding col)" ->
+        (s => s.contains("struct<vec_id:bigint>")))
+
     // --- shard packing (two-pass prefix sum): the offsets side must ride a
     // broadcast (it is O(partitions) rows), never a shuffled join; and the
     // running sum is ONE window node over the partition-id key ---

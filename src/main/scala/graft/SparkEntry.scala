@@ -478,6 +478,21 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+    // SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic dedup —
+    // the clustering is the blocking. The fixture config (nLists=4,
+    // assign=2) is near-exhaustive the way q_embed_neardup's tables=32/
+    // bits=2 LSH is: every >= 0.5 pair shares a cluster, so the decision
+    // table is the EXACT brute-force one and the oracle recomputes it via
+    // list_cosine_similarity + recursive-CTE connected components (min-id
+    // representative, q_doc_groups posture). Corpus-scale config lives in
+    // scaleQueries.
+    "q_semdedup" -> ((s, dir) => {
+      graft.ops.SemDedup.decisions(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          graft.ops.SemDedup.Config(nLists = 4, kmeansIters = 3, assign = 2,
+            threshold = 0.5))
+        .orderBy(col("vec_id"))
+    }),
     "q_media_meta" -> ((s, dir) => {
       graft.ops.Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("media_id"), col("media_type"), length(col("payload")).as("n_bytes"),
@@ -789,6 +804,15 @@ object SparkEntry {
       graft.ops.Similarity.cosineNearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), 0.90,
         graft.ops.Similarity.LshConfig(tables = 8, bits = 10))
+    }),
+    // corpus-scale SemDeDup: 64 clusters over 20k vectors (~300/cluster —
+    // the per-cluster kernel stays ~1e5 cosines), planted ~0.99-cosine
+    // near-dups at the 0.9 selective threshold (the q_embed_neardup note)
+    "q_semdedup" -> ((s, dir) => {
+      graft.ops.SemDedup.decisions(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        graft.ops.SemDedup.Config(nLists = 64, kmeansIters = 3, assign = 2,
+          threshold = 0.9))
     })
   )
 
@@ -1822,6 +1846,31 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.30
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // brute-force >= 0.5 cosine pairs -> recursive-CTE connected components
+    // (min-id rep, the q_doc_groups pattern) -> left join back onto the
+    // full corpus so singletons carry themselves as rep and kept=true
+    "q_semdedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        |), e AS (
+        |  SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
+        |), reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a
+        |), allr AS (
+        |  SELECT a, b FROM reach UNION SELECT a, a FROM e
+        |), reps AS (
+        |  SELECT a AS vid, min(b) AS group_rep FROM allr GROUP BY a
+        |)
+        |SELECT v.vec_id,
+        |       COALESCE(r.group_rep, v.vec_id) AS group_rep,
+        |       v.vec_id = COALESCE(r.group_rep, v.vec_id) AS kept
+        |FROM embeddings v LEFT JOIN reps r ON v.vec_id = r.vid
+        |ORDER BY vec_id""".stripMargin,
     "q_media_features" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(list_transform(range(1, length(text)+1), i -> ord(text[i]))) AS byte

@@ -96,6 +96,15 @@ class DataMainSpec extends AnyFunSuite {
         graft.functions.TextHash.simhash64(col("text")).as("sh")))
   }
 
+  test("semdedup CLI == SemDedup.decisions (threshold + assign flags honored)") {
+    val out = cli("--op", "semdedup", "--in", s"$sf/embeddings.parquet",
+      "--n-lists", "4", "--threshold", "0.5", "--assign", "2")
+    assertCliEqualsLibrary(out, graft.ops.SemDedup.decisions(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      graft.ops.SemDedup.Config(nLists = 4, kmeansIters = 3, assign = 2,
+        threshold = 0.5)))
+  }
+
   test("dedup-delta / neardup-delta CLI == DeltaDedup (corpus flag wired)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup — cluster-scoped semantic deduplication over an embedding
@@ -32,14 +31,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: k-means is the existing deterministic Lloyd kernel
   * (centroids driver-side, nLists x dim doubles — tiny, broadcast);
-  * assignment is one map over the corpus; the per-cluster pair kernel is
-  * one (cluster)-keyed shuffle whose quadratic work is bounded by the
-  * OBSERVED `maxCluster` cap (site `similarity.semdedup`, `dropped_rows` /
-  * `max_cluster` — over-cap clusters are dropped loudly, never silently).
-  * Embedding arrays ride the one clustering shuffle (unlike the LSH path
-  * they must: the cosine is computed inside the kernel), so the shuffle
-  * volume is assign x corpus — linear, with no pair frame ever carrying
-  * vectors.
+  * assignment is one map over the corpus, checkpointed once; the
+  * per-cluster pair kernel is one (cluster)-keyed shuffle whose quadratic
+  * work is bounded by the OBSERVED `maxCluster` cap (site
+  * `similarity.semdedup`, `dropped_rows` / `max_cluster` — over-cap
+  * clusters are dropped loudly via a broadcast anti-join, never silently).
+  * The cap is enforced from the O(nLists) per-cluster counts frame, not a
+  * corpus-wide Window, so the embedding arrays ride EXACTLY one exchange
+  * (the kernel's groupByKey — unlike the LSH path they must: the cosine is
+  * computed inside the kernel); shuffle volume is assign x corpus — linear,
+  * with no pair frame ever carrying vectors.
   *
   * Reference framing: megamind's design keeps entity payloads opaque and
   * dedups on identity; this operator is part of the training-data layer
@@ -82,6 +83,13 @@ object SemDedup {
     val nAssign = cfg.assign
     // one row per (cluster, vector) assignment; each row carries the
     // vector's full assignment list for the first-common-cluster check
+    // checkpointed ONCE: the assignment feeds two subtrees (the per-cluster
+    // size probe and the pair kernel — no CSE in Spark) and the embedding
+    // arrays must ride exactly one corpus-scale exchange (the kernel's
+    // groupByKey). The cluster-size cap is enforced from the O(nLists)
+    // counts frame, NOT a corpus-wide Window — a Window.partitionBy(cluster)
+    // would shuffle the full embedding-carrying corpus a second time just to
+    // count rows per cluster.
     val assigned = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
@@ -92,16 +100,26 @@ object SemDedup {
         }
       }
       .toDF("cluster", "vec_id", "embedding", "clusters")
-    val clusterW = Window.partitionBy(col("cluster"))
-    val withN = CapMetrics.observed(
-      assigned.withColumn("cluster_n", count(lit(1)).over(clusterW)),
+      .localCheckpoint(eager = true)
+    // cap metrics observe the TINY counts frame (one row per cluster);
+    // checkpointHarvest keeps the drop counts synchronous + prune-proof
+    // (same contract as the corpus-frame observes elsewhere, at nLists cost)
+    val counts = CapMetrics.checkpointHarvest(CapMetrics.observed(
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_n")),
       "similarity.semdedup",
-      sum(when(col("cluster_n") > cfg.maxCluster, 1L).otherwise(0L)).as("dropped_rows"),
-      max(col("cluster_n")).as("max_cluster"))
-    // observed + checkpointed so drop counts survive AQE empty-relation
-    // pruning (CapMetrics.checkpointHarvest contract)
-    val capped = CapMetrics.checkpointHarvest(
-      withN.filter(col("cluster_n") <= cfg.maxCluster).drop("cluster_n"))
+      sum(when(col("cluster_n") > cfg.maxCluster, col("cluster_n"))
+        .otherwise(0L)).as("dropped_rows"),
+      max(col("cluster_n")).as("max_cluster")))
+    val over = counts.filter(col("cluster_n") > cfg.maxCluster)
+      .select(col("cluster")).collect().map(_.getInt(0))
+    counts.unpersist()
+    // over-cap clusters are the rare exception: drop their rows via a
+    // broadcast anti-join only when any exist (never an isin expression —
+    // nLists can be 50k at corpus scale)
+    val capped =
+      if (over.isEmpty) assigned
+      else assigned.join(
+        broadcast(over.toSeq.toDF("cluster")), Seq("cluster"), "left_anti")
     val threshold = cfg.threshold
     val out = capped
       .as[(Int, Long, Seq[Float], Seq[Int])]
@@ -145,7 +163,7 @@ object SemDedup {
         buf.result()
       }
       .toDF("vec_a", "vec_b", "cos")
-    Dedup.ManagedPairs(out, () => { capped.unpersist(); () })
+    Dedup.ManagedPairs(out, () => { assigned.unpersist(); () })
   }
 
   /** Lowest common element of two SORTED ascending cluster lists (merge

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Perplexity, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Perplexity, QualityClassifier, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -23,7 +23,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     media-features | frame-sample |
   *                     asof-join | range-join | contamination |
   *                     dsir-weights | dsir-sample | dup-spans |
-  *                     dup-spans-clean | curate | lm-score     (required)
+  *                     dup-spans-clean | curate | lm-score |
+  *                     nb-quality                              (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -72,7 +73,9 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --bucket-ms MS    range-join bucket width                [3600000]
   *   --max-interval-buckets N   hard fan-out guard            [4096]
   *   --text-col C      contamination / dsir text column       [text]
-  *   --target PATH     DSIR target (quality) corpus parquet    (required)
+  *   --target PATH     DSIR / lm-score target corpus parquet   (required)
+  *   --positive PATH / --negative PATH   nb-quality labeled
+  *                     corpora (quality vs background)         (required)
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
   *   --window-w W / --min-docs D   dup-spans / dup-spans-clean
@@ -240,6 +243,12 @@ object DataMain {
         val target = spark.read.parquet(args.getOrElse("target",
           throw new IllegalArgumentException("--target is required for lm-score")))
         Perplexity.lmScore(df, target, f("add-k", 1.0))
+      case "nb-quality" =>
+        val pos = spark.read.parquet(args.getOrElse("positive",
+          throw new IllegalArgumentException("--positive is required for nb-quality")))
+        val neg = spark.read.parquet(args.getOrElse("negative",
+          throw new IllegalArgumentException("--negative is required for nb-quality")))
+        QualityClassifier.nbScore(df, pos, neg, f("add-k", 1.0))
       case "dsir-weights" | "dsir-sample" =>
         val target = spark.read.parquet(args.getOrElse("target",
           throw new IllegalArgumentException(s"--target is required for $op")))
@@ -266,7 +275,7 @@ object DataMain {
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
-    "add-k", "assign", "max-cluster")
+    "add-k", "assign", "max-cluster", "positive", "negative")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -426,6 +426,29 @@ object Plans {
       m.free()
     }
 
+    // --- NB quality classifier: the two per-class count tables (O(vocab)
+    // rows) must broadcast into the raw-corpus token scan — the corpus
+    // NEVER shuffles to meet them — and the per-doc score is a
+    // partial+final hash aggregate (the q_lm_ppl plan shape, two tables) ---
+    {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val m = graft.ops.QualityClassifier.nbScoreManaged(
+        docs.filter(col("doc_id") % 25 =!= 0 && col("doc_id") % 25 =!= 1),
+        docs.filter(col("doc_id") % 25 === 0),
+        docs.filter(col("doc_id") % 25 === 1))
+      audit("q_nb_quality", m.pairs, execute = true)(
+      "count tables broadcast into the token scan" ->
+        (s => s.contains("BroadcastHashJoin")),
+      "no cartesian / nested-loop products" ->
+        (s => !s.contains("CartesianProduct") &&
+          !s.contains("BroadcastNestedLoopJoin")),
+      "partial hash aggregate for the per-doc score" ->
+        (s => s.contains("HashAggregate") && s.contains("partial")),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+      m.free()
+    }
+
     // --- composed curation decision table: the near-dup and contamination
     // internals are SEALED (audited separately above), so this plan must be
     // pure map-side signal computation + ONE window (the exact-dup keep)

@@ -733,6 +733,19 @@ object SparkEntry {
           docs.filter(col("doc_id") % 25 === 0))
         .orderBy(col("doc_id"))
     }),
+    // GPT-3-style model-based quality filter: NB classifier trained on the
+    // %25==0 slice (positive) vs the %25==1 slice (negative), scoring the
+    // rest; the oracle recomputes counts from raw token STRINGS (collision
+    // proof) and both engines publish the log-odds sum as float32, with the
+    // keep boolean derived from the published float
+    "q_nb_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.QualityClassifier.nbScore(
+          docs.filter(col("doc_id") % 25 =!= 0 && col("doc_id") % 25 =!= 1),
+          docs.filter(col("doc_id") % 25 === 0),
+          docs.filter(col("doc_id") % 25 === 1))
+        .orderBy(col("doc_id"))
+    }),
     // one-call curation decision table: every filter stage's verdict as a
     // column (exact/near-dup reps, decontamination vs the %25 benchmark
     // slice, quality + repetition gates) — the oracle recomputes ALL of it
@@ -776,6 +789,7 @@ object SparkEntry {
     "q_dsir_weights" -> queries("q_dsir_weights"),
     "q_dsir_resample" -> queries("q_dsir_resample"),
     "q_lm_ppl" -> queries("q_lm_ppl"),
+    "q_nb_quality" -> queries("q_nb_quality"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -851,6 +865,7 @@ object SparkEntry {
     "q_dsir_weights_10x" -> at10x("q_dsir_weights"),
     "q_dsir_resample_10x" -> at10x("q_dsir_resample"),
     "q_lm_ppl_10x" -> at10x("q_lm_ppl"),
+    "q_nb_quality_10x" -> at10x("q_nb_quality"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -884,6 +899,7 @@ object SparkEntry {
       "q_dsir_weights_10x" -> retargetSql(oracleSqlBase("q_dsir_weights"), d, Seq("documents")),
       "q_dsir_resample_10x" -> retargetSql(oracleSqlBase("q_dsir_resample"), d, Seq("documents")),
       "q_lm_ppl_10x" -> retargetSql(oracleSqlBase("q_lm_ppl"), d, Seq("documents")),
+      "q_nb_quality_10x" -> retargetSql(oracleSqlBase("q_nb_quality"), d, Seq("documents")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
@@ -1445,6 +1461,55 @@ object SparkEntry {
         |       CASE WHEN n_bigrams > 0 THEN
         |         CAST(exp(-CAST(lm_logprob AS DOUBLE) / n_bigrams) AS REAL)
         |       END AS lm_ppl
+        |FROM pub ORDER BY doc_id""".stripMargin,
+    // NB quality classifier: per-class counts re-derived from raw token
+    // STRINGS; every weight is ln of exact-integer rationals, summed then
+    // published as float32 on BOTH sides, and nb_keep derived FROM the
+    // published float (ulp + sum-order absorbed — the q_lm_ppl contract)
+    "q_nb_quality" ->
+      """WITH pos AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), neg AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE doc_id % 25 = 1
+        |), tr AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ts
+        |  FROM documents WHERE doc_id % 25 <> 0 AND doc_id % 25 <> 1
+        |), cp AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM pos)
+        |  GROUP BY 1
+        |), cn AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM neg)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT coalesce(sum(c), 0) FROM cp) AS npos,
+        |         (SELECT coalesce(sum(c), 0) FROM cn) AS nneg,
+        |         (SELECT count(DISTINCT w) FROM (
+        |            SELECT unnest(ts) AS w FROM pos
+        |            UNION ALL SELECT unnest(ts) AS w FROM neg)) AS v,
+        |         (SELECT ln(count(*)) FROM documents WHERE doc_id % 25 = 0)
+        |           - (SELECT ln(count(*)) FROM documents WHERE doc_id % 25 = 1)
+        |           AS prior
+        |), db AS (
+        |  SELECT doc_id, unnest(ts) AS w FROM tr
+        |), sc AS (
+        |  SELECT db.doc_id, count(*) AS n,
+        |         sum(ln((coalesce(cp.c, 0) + 1.0) / (tot.npos + 1.0 * tot.v))
+        |           - ln((coalesce(cn.c, 0) + 1.0) / (tot.nneg + 1.0 * tot.v)))
+        |           AS sw
+        |  FROM db CROSS JOIN tot
+        |  LEFT JOIN cp ON db.w = cp.w
+        |  LEFT JOIN cn ON db.w = cn.w
+        |  GROUP BY 1
+        |), pub AS (
+        |  SELECT t.doc_id,
+        |         CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens,
+        |         CAST(coalesce(sc.sw, 0.0) + tot.prior AS REAL) AS nb_logodds
+        |  FROM tr t CROSS JOIN tot LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |)
+        |SELECT doc_id, n_tokens, nb_logodds,
+        |       nb_logodds > CAST(0.0 AS REAL) AS nb_keep
         |FROM pub ORDER BY doc_id""".stripMargin,
     // composed curation oracle: each stage's CTEs are copied from the
     // already-proven component oracles (q_dedup_exact's md5 keep rule,

@@ -278,6 +278,21 @@ class DataMainSpec extends AnyFunSuite {
       s"$sf/documents.parquet", Map.empty))
   }
 
+  test("nb-quality CLI == QualityClassifier library call (both class flags required)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = Files.createTempDirectory("graft-nbq-cli").toString
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/pos")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$tmp/neg")
+    val out = cli("--op", "nb-quality", "--in", s"$sf/documents.parquet",
+      "--positive", s"$tmp/pos", "--negative", s"$tmp/neg", "--add-k", "0.5")
+    assertCliEqualsLibrary(out, graft.ops.QualityClassifier.nbScore(docs,
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), 0.5))
+    intercept[IllegalArgumentException](graft.DataMain.run(spark, "nb-quality",
+      s"$sf/documents.parquet", Map("positive" -> s"$tmp/pos")))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Perplexity, QualityClassifier, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Percentile, Perplexity, QualityClassifier, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -24,7 +24,7 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     asof-join | range-join | contamination |
   *                     dsir-weights | dsir-sample | dup-spans |
   *                     dup-spans-clean | curate | lm-score |
-  *                     nb-quality                              (required)
+  *                     nb-quality | rank-buckets               (required)
   *   --in PATH         input parquet (documents / events / embeddings
   *                     shape per op)                          (required)
   *   --out PATH        output parquet dir                     (required)
@@ -76,6 +76,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --target PATH     DSIR / lm-score target corpus parquet   (required)
   *   --positive PATH / --negative PATH   nb-quality labeled
   *                     corpora (quality vs background)         (required)
+  *   --score-col C     rank-buckets score column (--k buckets,
+  *                     --id-col tiebreak)                     [score]
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
   *   --window-w W / --min-docs D   dup-spans / dup-spans-clean
@@ -243,6 +245,9 @@ object DataMain {
         val target = spark.read.parquet(args.getOrElse("target",
           throw new IllegalArgumentException("--target is required for lm-score")))
         Perplexity.lmScore(df, target, f("add-k", 1.0))
+      case "rank-buckets" =>
+        Percentile.rankBuckets(df, n("k", 3), s("score-col", "score"),
+          s("id-col", "doc_id"))
       case "nb-quality" =>
         val pos = spark.read.parquet(args.getOrElse("positive",
           throw new IllegalArgumentException("--positive is required for nb-quality")))
@@ -275,7 +280,7 @@ object DataMain {
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
-    "add-k", "assign", "max-cluster", "positive", "negative")
+    "add-k", "assign", "max-cluster", "positive", "negative", "score-col")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -426,6 +426,25 @@ object Plans {
       m.free()
     }
 
+    // --- percentile rank-buckets (two-pass global rank): the offsets side
+    // must ride a broadcast, the row_number window must key by partition id
+    // — NEVER the SinglePartition a bare row_number-over-order-by plans ---
+    {
+      val m = graft.ops.Percentile.rankBucketsManaged(
+        spark.read.parquet(s"$dir/documents.parquet"), 3, "n_chars")
+      audit("q_ppl_buckets_pass2", m.pairs, execute = true)(
+        "offsets joined via BroadcastHashJoin (O(partitions) side)" ->
+          (s => s.contains("BroadcastHashJoin")),
+        "single Window node for the per-partition row_number" ->
+          (s => s.split("Initial Plan")(0).split("Window \\(").length == 2),
+        "no SinglePartition exchange (the global-rank scale trap)" ->
+          (s => !s.contains("SinglePartition")),
+        "no cartesian/nested-loop product" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")))
+      m.free()
+    }
+
     // --- NB quality classifier: the two per-class count tables (O(vocab)
     // rows) must broadcast into the raw-corpus token scan — the corpus
     // NEVER shuffles to meet them — and the per-doc score is a

@@ -733,6 +733,20 @@ object SparkEntry {
           docs.filter(col("doc_id") % 25 === 0))
         .orderBy(col("doc_id"))
     }),
+    // CCNet head/middle/tail split: tercile buckets of the lm_ppl score by
+    // deterministic global rank (two-pass scan — never a SinglePartition
+    // window); the oracle recomputes the rank with row_number() over the
+    // identical (score, id) total order on the proven float32 scores
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.Perplexity.lmScore(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0))
+        .filter(col("lm_ppl").isNotNull)
+        .select(col("doc_id"), col("lm_ppl"))
+      graft.ops.Percentile.rankBuckets(scored, 3, scoreCol = "lm_ppl")
+        .orderBy(col("doc_id"))
+    }),
     // GPT-3-style model-based quality filter: NB classifier trained on the
     // %25==0 slice (positive) vs the %25==1 slice (negative), scoring the
     // rest; the oracle recomputes counts from raw token STRINGS (collision
@@ -790,6 +804,7 @@ object SparkEntry {
     "q_dsir_resample" -> queries("q_dsir_resample"),
     "q_lm_ppl" -> queries("q_lm_ppl"),
     "q_nb_quality" -> queries("q_nb_quality"),
+    "q_ppl_buckets" -> queries("q_ppl_buckets"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -866,6 +881,7 @@ object SparkEntry {
     "q_dsir_resample_10x" -> at10x("q_dsir_resample"),
     "q_lm_ppl_10x" -> at10x("q_lm_ppl"),
     "q_nb_quality_10x" -> at10x("q_nb_quality"),
+    "q_ppl_buckets_10x" -> at10x("q_ppl_buckets"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -900,12 +916,32 @@ object SparkEntry {
       "q_dsir_resample_10x" -> retargetSql(oracleSqlBase("q_dsir_resample"), d, Seq("documents")),
       "q_lm_ppl_10x" -> retargetSql(oracleSqlBase("q_lm_ppl"), d, Seq("documents")),
       "q_nb_quality_10x" -> retargetSql(oracleSqlBase("q_nb_quality"), d, Seq("documents")),
+      "q_ppl_buckets_10x" -> retargetSql(pplBucketsSql, d, Seq("documents")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
   }
 
+  /** Tercile split of the proven q_lm_ppl float32 scores: the rank is a
+    * plain `row_number()` over the identical (score, id) total order, and
+    * the bucket formula is the same non-negative integer floor-division on
+    * both sides. Composed from the component oracle (the q_curate
+    * pattern), so float reproduction is already established. */
+  private def pplBucketsSql: String =
+    "WITH scores AS (" + oracleSqlBase("q_lm_ppl") + """
+      |), nn AS (
+      |  SELECT doc_id, lm_ppl FROM scores WHERE lm_ppl IS NOT NULL
+      |), r AS (
+      |  SELECT doc_id, lm_ppl,
+      |         row_number() OVER (ORDER BY lm_ppl, doc_id) AS rank,
+      |         count(*) OVER () AS n
+      |  FROM nn
+      |)
+      |SELECT doc_id, lm_ppl, rank, ((rank - 1) * 3) // n AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase +
+    ("q_ppl_buckets" -> pplBucketsSql) +
     ("kg_incremental" -> oracleSqlBase("kg_edges")) +
     ("kg_streaming" -> oracleSqlBase("kg_edges")) +
     ("q_knn_lsh" -> oracleSqlBase("q_knn")) + // fixture blocking is exhaustive

@@ -293,6 +293,14 @@ class DataMainSpec extends AnyFunSuite {
       s"$sf/documents.parquet", Map("positive" -> s"$tmp/pos")))
   }
 
+  test("rank-buckets CLI == Percentile library call") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = cli("--op", "rank-buckets", "--in", s"$sf/documents.parquet",
+      "--score-col", "n_chars", "--k", "4")
+    assertCliEqualsLibrary(out,
+      graft.ops.Percentile.rankBuckets(docs, 4, "n_chars"))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -77,7 +77,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --positive PATH / --negative PATH   nb-quality labeled
   *                     corpora (quality vs background)         (required)
   *   --score-col C     rank-buckets score column (--k buckets,
-  *                     --id-col tiebreak)                     [score]
+  *                     --id-col tiebreak; --by-col G ranks and
+  *                     buckets within each group)             [score]
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
   *   --window-w W / --min-docs D   dup-spans / dup-spans-clean
@@ -246,8 +247,12 @@ object DataMain {
           throw new IllegalArgumentException("--target is required for lm-score")))
         Perplexity.lmScore(df, target, f("add-k", 1.0))
       case "rank-buckets" =>
-        Percentile.rankBuckets(df, n("k", 3), s("score-col", "score"),
-          s("id-col", "doc_id"))
+        args.get("by-col") match {
+          case Some(by) => Percentile.rankBucketsBy(df, n("k", 3),
+            s("score-col", "score"), s("id-col", "doc_id"), by)
+          case None => Percentile.rankBuckets(df, n("k", 3),
+            s("score-col", "score"), s("id-col", "doc_id"))
+        }
       case "nb-quality" =>
         val pos = spark.read.parquet(args.getOrElse("positive",
           throw new IllegalArgumentException("--positive is required for nb-quality")))
@@ -280,7 +285,8 @@ object DataMain {
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
-    "add-k", "assign", "max-cluster", "positive", "negative", "score-col")
+    "add-k", "assign", "max-cluster", "positive", "negative", "score-col",
+    "by-col")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -445,6 +445,24 @@ object Plans {
       m.free()
     }
 
+    // --- per-group rank-buckets: like the global variant but the offsets
+    // frame is derived distributedly (windows over the tiny per-(pid,
+    // group) counts aggregate — zero driver collects) ---
+    {
+      val m = graft.ops.Percentile.rankBucketsByManaged(
+        spark.read.parquet(s"$dir/documents.parquet"), 4, "n_chars",
+        "doc_id", "lang")
+      audit("q_lang_buckets", m.pairs, execute = true)(
+        "offsets joined via BroadcastHashJoin (O(partitions+groups) side)" ->
+          (s => s.contains("BroadcastHashJoin")),
+        "no SinglePartition exchange (the global-rank scale trap)" ->
+          (s => !s.contains("SinglePartition")),
+        "no cartesian/nested-loop product" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")))
+      m.free()
+    }
+
     // --- NB quality classifier: the two per-class count tables (O(vocab)
     // rows) must broadcast into the raw-corpus token scan — the corpus
     // NEVER shuffles to meet them — and the per-doc score is a

@@ -747,6 +747,16 @@ object SparkEntry {
       graft.ops.Percentile.rankBuckets(scored, 3, scoreCol = "lm_ppl")
         .orderBy(col("doc_id"))
     }),
+    // per-LANGUAGE percentile split (CCNet computes its cuts per language):
+    // quartiles of the n_chars signal within each lang group — grouped
+    // two-pass rank, offsets derived with zero driver collects
+    "q_lang_buckets" -> ((s, dir) => {
+      graft.ops.Percentile.rankBucketsBy(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("lang"), col("doc_id"), col("n_chars")),
+          4, scoreCol = "n_chars", byCol = "lang")
+        .orderBy(col("doc_id"))
+    }),
     // GPT-3-style model-based quality filter: NB classifier trained on the
     // %25==0 slice (positive) vs the %25==1 slice (negative), scoring the
     // rest; the oracle recomputes counts from raw token STRINGS (collision
@@ -805,6 +815,7 @@ object SparkEntry {
     "q_lm_ppl" -> queries("q_lm_ppl"),
     "q_nb_quality" -> queries("q_nb_quality"),
     "q_ppl_buckets" -> queries("q_ppl_buckets"),
+    "q_lang_buckets" -> queries("q_lang_buckets"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -882,6 +893,7 @@ object SparkEntry {
     "q_lm_ppl_10x" -> at10x("q_lm_ppl"),
     "q_nb_quality_10x" -> at10x("q_nb_quality"),
     "q_ppl_buckets_10x" -> at10x("q_ppl_buckets"),
+    "q_lang_buckets_10x" -> at10x("q_lang_buckets"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -917,6 +929,7 @@ object SparkEntry {
       "q_lm_ppl_10x" -> retargetSql(oracleSqlBase("q_lm_ppl"), d, Seq("documents")),
       "q_nb_quality_10x" -> retargetSql(oracleSqlBase("q_nb_quality"), d, Seq("documents")),
       "q_ppl_buckets_10x" -> retargetSql(pplBucketsSql, d, Seq("documents")),
+      "q_lang_buckets_10x" -> retargetSql(oracleSqlBase("q_lang_buckets"), d, Seq("documents")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
@@ -1302,6 +1315,19 @@ object SparkEntry {
         |  CAST((sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - weight)
         |    // 8000 AS BIGINT) AS shard_id
         |FROM w ORDER BY doc_id""".stripMargin,
+    // per-language quartiles: rank recomputed with row_number over the
+    // identical (score, id) total order within each lang; same non-negative
+    // integer floor-division for the bucket on both sides
+    "q_lang_buckets" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars, doc_id) AS rank,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, n_chars, rank, ((rank - 1) * 4) // n AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // relational recomputation of the repetition kernel: each fraction is
     // one IEEE division of exact integer counts, so equality is bitwise
     "q_repetition" ->

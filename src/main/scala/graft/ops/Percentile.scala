@@ -96,4 +96,63 @@ object Percentile {
       .select(col(idCol), col(scoreCol), col("rank"), col("bucket"))
     Dedup.ManagedPairs(out, () => { sorted.unpersist(); () })
   }
+
+  /** Per-group [[rankBuckets]] — CCNet's actual recipe splits by
+    * perplexity percentile PER LANGUAGE (Wenzek et al. §4.3), so rank and
+    * bucket here are computed within each `byCol` group independently:
+    * rank restarts at 1 per group and bucket divides by the GROUP size.
+    * Output: (byCol, idCol, scoreCol, rank, bucket).
+    *
+    * Same two-pass scan, with one structural upgrade: because the offsets
+    * frame is keyed by (partition, group), the exclusive offsets and group
+    * totals derive from a window over the TINY per-(pid, group) counts
+    * aggregate — O(partitions + groups) rows, no driver collect at all,
+    * generic over the group column's type. Sorting by (group, score, id)
+    * keeps each group contiguous, so that counts frame stays
+    * partitions+groups-bounded, never partitions×groups. Null group keys
+    * are rejected per row (they would silently drop in the equi-join). */
+  def rankBucketsBy(df: DataFrame, k: Int, scoreCol: String = "score",
+      idCol: String = "doc_id", byCol: String = "lang"): DataFrame = {
+    val m = rankBucketsByManaged(df, k, scoreCol, idCol, byCol)
+    try m.pairs.localCheckpoint(eager = true)
+    finally m.free()
+  }
+
+  /** Lazy variant of [[rankBucketsBy]] (the [[Dedup.ManagedPairs]]
+    * contract). */
+  def rankBucketsByManaged(df: DataFrame, k: Int, scoreCol: String = "score",
+      idCol: String = "doc_id", byCol: String = "lang"): Dedup.ManagedPairs = {
+    require(k > 0, s"rankBucketsBy needs k > 0: $k")
+    val guarded = assert_true(
+      col(scoreCol).isNotNull && col(byCol).isNotNull,
+      lit(s"rankBucketsBy: null $scoreCol or $byCol"))
+    val sorted = df
+      .select(col(byCol), col(idCol), col(scoreCol),
+        coalesce(guarded.cast("long"), lit(0L)).as("__z"))
+      .sort(col(byCol), col(scoreCol), col(idCol))
+      .select(col("*"), spark_partition_id().as("__pid"))
+      .localCheckpoint(eager = true)
+    // pass 1 stays distributed: per-(pid, group) counts, then the
+    // exclusive within-group offset and the group total as windows over
+    // that O(partitions + groups)-row frame
+    val gw = Window.partitionBy(col(byCol))
+    val cumW = gw.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sorted.groupBy(col("__pid"), col(byCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(cumW) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(gw))
+      .select(col("__pid"), col(byCol), col("__off"), col("__n"))
+    // pass 2: per-(pid, group) row_number + the group-wise offset
+    val w = Window.partitionBy(col("__pid"), col(byCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val out = sorted
+      .join(broadcast(offsets), Seq("__pid", byCol))
+      .withColumn("rank",
+        row_number().over(w).cast("long") + col("__off"))
+      .withColumn("bucket", expr(s"((rank - 1L) * ${k}L) div __n"))
+      .select(col(byCol), col(idCol), col(scoreCol), col("rank"),
+        col("bucket"))
+    Dedup.ManagedPairs(out, () => { sorted.unpersist(); () })
+  }
 }

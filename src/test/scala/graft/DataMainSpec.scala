@@ -299,6 +299,10 @@ class DataMainSpec extends AnyFunSuite {
       "--score-col", "n_chars", "--k", "4")
     assertCliEqualsLibrary(out,
       graft.ops.Percentile.rankBuckets(docs, 4, "n_chars"))
+    val outBy = cli("--op", "rank-buckets", "--in", s"$sf/documents.parquet",
+      "--score-col", "n_chars", "--k", "4", "--by-col", "lang")
+    assertCliEqualsLibrary(outBy,
+      graft.ops.Percentile.rankBucketsBy(docs, 4, "n_chars", "doc_id", "lang"))
   }
 
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {

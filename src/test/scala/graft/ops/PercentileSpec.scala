@@ -46,6 +46,41 @@ class PercentileSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // grouped variant: unbalanced groups (7 a's, 3 b's) + score ties
+  private lazy val grouped = Seq(
+    ("a", 7L, 2.5), ("a", 1L, 9.0), ("a", 4L, 2.5), ("a", 2L, 0.5),
+    ("a", 9L, 7.25), ("a", 3L, 2.5), ("a", 8L, 4.0),
+    ("b", 5L, 11.0), ("b", 6L, 1.0), ("b", 10L, 6.5))
+
+  private def bruteBy(k: Int): Map[(String, Long), (Long, Long)] =
+    grouped.groupBy(_._1).flatMap { case (g, rs) =>
+      val n = rs.size
+      rs.sortBy { case (_, id, s) => (s, id) }.zipWithIndex.map {
+        case ((_, id, _), i) => (g, id) -> ((i + 1L, (i.toLong * k) / n))
+      }
+    }
+
+  private def runBy(k: Int, parts: Int = 5): Map[(String, Long), (Long, Long)] =
+    Percentile.rankBucketsBy(
+        grouped.toDF("lang", "doc_id", "score").repartition(parts), k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("rankBucketsBy == per-group brute force; rank restarts per group") {
+    for (k <- Seq(3, 2)) assert(runBy(k) == bruteBy(k), s"k=$k")
+    assert(runBy(3).count { case (_, (rank, _)) => rank == 1L } == 2)
+  }
+
+  test("rankBucketsBy invariant to input partitioning; null group rejected") {
+    assert(runBy(3, parts = 1) == runBy(3, parts = 7))
+    val bad = Seq((Some("a"), 1L, 1.0), (None, 2L, 2.0))
+      .toDF("lang", "doc_id", "score")
+    val e = intercept[Exception](Percentile.rankBucketsBy(bad, 3).collect())
+    assert(e.getMessage.contains("null") ||
+      Option(e.getCause).exists(_.getMessage.contains("null")))
+  }
+
   test("null score rejected per row; empty input yields empty output") {
     val bad = Seq((1L, Some(1.0)), (2L, None)).toDF("doc_id", "score")
     val e = intercept[Exception](Percentile.rankBuckets(bad, 3).collect())

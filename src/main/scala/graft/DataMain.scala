@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Multimodal, Percentile, Perplexity, QualityClassifier, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Mixing, Multimodal, Percentile, Perplexity, QualityClassifier, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -15,7 +15,7 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
   *                     simhash-pairs | doc-groups | dedup-delta |
   *                     neardup-delta | dedup-ingest | split | stratified |
-  *                     sessionize | token-stats | quality | repetition |
+  *                     mix | sessionize | token-stats | quality | repetition |
   *                     pack-shards | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
@@ -48,6 +48,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --strata-col C    stratified strata column               [source]
   *   --fractions a=0.9,b=0.5   per-stratum keep fractions
   *   --default-fraction F                                     [0.2]
+  *   --budgets a=4000,b=2500   mix per-source weight budgets
+  *                     (--strata-col groups, --weight-col fills) (required)
   *   --gap-ms MS       sessionize gap                         [1800000]
   *   --k N             top-k / top-terms size                 [10 / 3]
   *   --tables / --bits           sign-LSH config              [8/10]
@@ -160,6 +162,19 @@ object DataMain {
         }.toMap).getOrElse(Map.empty[String, Double])
         Sampling.stratifiedSample(df, s("strata-col", "source"),
           s("id-col", "doc_id"), fractions, f("default-fraction", 0.2))
+      case "mix" =>
+        val budgets = args.getOrElse("budgets",
+            throw new IllegalArgumentException(
+              "--budgets is required for mix (src=chars,src=chars)"))
+          .split(",").map { kv =>
+            kv.split("=") match {
+              case Array(k, v) => k -> v.toLong
+              case _ => throw new IllegalArgumentException(
+                s"bad --budgets entry '$kv' (want source=weight)")
+            }
+          }.toMap
+        Mixing.mixByBudget(df, budgets, s("strata-col", "source"),
+          s("id-col", "doc_id"), s("weight-col", "n_chars"))
       case "sessionize" => Sessionize.sessions(df, l("gap-ms", 1800000L))
       case "token-stats" => TextStats.tokenStats(df)
       case "quality" => TextStats.quality(df)
@@ -286,7 +301,7 @@ object DataMain {
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
     "add-k", "assign", "max-cluster", "positive", "negative", "score-col",
-    "by-col")
+    "by-col", "budgets")
 
   def main(argv: Array[String]): Unit = {
     // uniform --key value parsing (every DataMain flag takes a value)

@@ -463,6 +463,25 @@ object Plans {
       m.free()
     }
 
+    // --- source mixing: the budgeted-source filter must reach the parquet
+    // scan; the per-source offsets and the budget table both broadcast
+    // (O(partitions+sources) and O(sources) rows); never a per-source
+    // SinglePartition sort ---
+    {
+      val m = graft.ops.Mixing.mixByBudgetManaged(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Map("src0" -> 4000L, "src1" -> 2500L))
+      audit("q_mix", m.pairs, execute = true)(
+        "offsets + budgets joined via BroadcastHashJoin" ->
+          (s => s.contains("BroadcastHashJoin")),
+        "no SinglePartition exchange (prefix sum stays distributed)" ->
+          (s => !s.contains("SinglePartition")),
+        "no cartesian/nested-loop product" ->
+          (s => !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")))
+      m.free()
+    }
+
     // --- NB quality classifier: the two per-class count tables (O(vocab)
     // rows) must broadcast into the raw-corpus token scan — the corpus
     // NEVER shuffles to meet them — and the per-doc score is a

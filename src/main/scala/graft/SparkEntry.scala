@@ -757,6 +757,18 @@ object SparkEntry {
           4, scoreCol = "n_chars", byCol = "lang")
         .orderBy(col("doc_id"))
     }),
+    // deterministic source mixing (Pile-style per-set budgets): fill each
+    // budgeted source with docs in salted-FNV order until its char budget
+    // is spent — partial fill (src0/src1), single-doc overshoot (src2,
+    // budget 1), keep-everything (src3), drop-the-rest all exercised; the
+    // oracle re-derives the hash in HUGEINT and replays the prefix fill
+    "q_mix" -> ((s, dir) => {
+      graft.ops.Mixing.mixByBudget(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Map("src0" -> 4000L, "src1" -> 2500L, "src2" -> 1L,
+            "src3" -> 999999L))
+        .orderBy(col("doc_id"))
+    }),
     // GPT-3-style model-based quality filter: NB classifier trained on the
     // %25==0 slice (positive) vs the %25==1 slice (negative), scoring the
     // rest; the oracle recomputes counts from raw token STRINGS (collision
@@ -816,6 +828,7 @@ object SparkEntry {
     "q_nb_quality" -> queries("q_nb_quality"),
     "q_ppl_buckets" -> queries("q_ppl_buckets"),
     "q_lang_buckets" -> queries("q_lang_buckets"),
+    "q_mix" -> queries("q_mix"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -894,6 +907,7 @@ object SparkEntry {
     "q_nb_quality_10x" -> at10x("q_nb_quality"),
     "q_ppl_buckets_10x" -> at10x("q_ppl_buckets"),
     "q_lang_buckets_10x" -> at10x("q_lang_buckets"),
+    "q_mix_10x" -> at10x("q_mix"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -930,6 +944,7 @@ object SparkEntry {
       "q_nb_quality_10x" -> retargetSql(oracleSqlBase("q_nb_quality"), d, Seq("documents")),
       "q_ppl_buckets_10x" -> retargetSql(pplBucketsSql, d, Seq("documents")),
       "q_lang_buckets_10x" -> retargetSql(oracleSqlBase("q_lang_buckets"), d, Seq("documents")),
+      "q_mix_10x" -> retargetSql(oracleSqlBase("q_mix"), d, Seq("documents")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
@@ -1328,6 +1343,34 @@ object SparkEntry {
         |)
         |SELECT lang, doc_id, n_chars, rank, ((rank - 1) * 4) // n AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // source mixing: the hash is re-derived in HUGEINT, reinterpreted
+    // signed (the engine orders by the SIGNED int64), and the per-source
+    // exclusive prefix fill is replayed with a window; budgets mirror the
+    // Spark map literally
+    "q_mix" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    ${fnvHuSql("('mix|' || source || '|' || CAST(doc_id AS VARCHAR))")} AS hu
+         |  FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+         |), s AS (
+         |  SELECT source, doc_id, weight,
+         |    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+         |         THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END
+         |      AS BIGINT) AS hs
+         |  FROM h
+         |), c AS (
+         |  SELECT source, doc_id, weight,
+         |    CAST(sum(weight) OVER (PARTITION BY source ORDER BY hs, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - weight AS BIGINT) AS cum_before
+         |  FROM s
+         |)
+         |SELECT source, doc_id, weight, cum_before FROM c
+         |WHERE cum_before < CASE source WHEN 'src0' THEN 4000
+         |                               WHEN 'src1' THEN 2500
+         |                               WHEN 'src2' THEN 1
+         |                               ELSE 999999 END
+         |ORDER BY doc_id""".stripMargin,
     // relational recomputation of the repetition kernel: each fraction is
     // one IEEE division of exact integer counts, so equality is bitwise
     "q_repetition" ->

@@ -305,6 +305,16 @@ class DataMainSpec extends AnyFunSuite {
       graft.ops.Percentile.rankBucketsBy(docs, 4, "n_chars", "doc_id", "lang"))
   }
 
+  test("mix CLI == Mixing library call (budgets flag required)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = cli("--op", "mix", "--in", s"$sf/documents.parquet",
+      "--budgets", "src0=4000,src1=2500")
+    assertCliEqualsLibrary(out,
+      graft.ops.Mixing.mixByBudget(docs, Map("src0" -> 4000L, "src1" -> 2500L)))
+    intercept[IllegalArgumentException](graft.DataMain.run(spark, "mix",
+      s"$sf/documents.parquet", Map.empty))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

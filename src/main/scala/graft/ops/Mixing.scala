@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextHash
 
 /** Deterministic source mixing — the "data mixture" stage of a training
-  * pipeline (The Pile's per-set weights, DoReMi-style reweighting applied
-  * as hard token budgets): given a per-source weight budget (tokens,
-  * chars, bytes), select documents from each source until that source's
-  * budget is filled, as a PURE FUNCTION of the dataset.
+  * pipeline (per-set weights as in The Pile, Gao et al. 2020 §2; learned
+  * reweighting as in DoReMi, Xie et al. 2023, applied here as hard weight
+  * budgets): given a per-source weight budget (tokens, chars, bytes),
+  * select documents from each source until that source's budget is
+  * filled, as a PURE FUNCTION of the dataset.
   *
   * Selection order within a source is the salted FNV-1a fingerprint of the
   * document key (ties broken by key) — a deterministic shuffle, so the

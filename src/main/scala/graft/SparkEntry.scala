@@ -792,6 +792,22 @@ object SparkEntry {
           docs.filter(col("doc_id") % 25 =!= 0),
           docs.filter(col("doc_id") % 25 === 0))
         .orderBy(col("doc_id"))
+    }),
+    // the end-to-end curation path a real pipeline runs: the decision
+    // table's kept survivors, then the deterministic per-source budget
+    // fill over ONLY those survivors (filter-then-mix sequencing matters:
+    // the budgets must not be spent on docs a gate would drop) — two
+    // independently-proven ops composed, with the oracle replaying both
+    "q_curate_mix" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val decisions = graft.ops.Curate.curate(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0))
+      val kept = docs.join(
+        decisions.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
+      graft.ops.Mixing.mixByBudget(kept,
+          Map("src0" -> 1500L, "src1" -> 999999L, "src2" -> 1L))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -955,6 +971,40 @@ object SparkEntry {
     * the bucket formula is the same non-negative integer floor-division on
     * both sides. Composed from the component oracle (the q_curate
     * pattern), so float reproduction is already established. */
+  /** Curate→mix composition: the full q_curate decision table as a CTE
+    * (DuckDB accepts the nested WITH RECURSIVE), its kept survivors joined
+    * back to documents, then the q_mix HUGEINT hash + prefix fill replayed
+    * over only those survivors. Composed from the two component oracles,
+    * so every leaf computation is already proven engine-exact. */
+  private def curateMixSql: String = {
+    val curate = oracleSqlBase("q_curate")
+    require(curate.endsWith("\nORDER BY tr.doc_id"), "q_curate SQL tail moved")
+    s"""WITH curated AS (
+       |${curate.stripSuffix("\nORDER BY tr.doc_id")}
+       |), kd AS (
+       |  SELECT d.source, d.doc_id, CAST(d.n_chars AS BIGINT) AS weight,
+       |    ${fnvHuSql("('mix|' || d.source || '|' || CAST(d.doc_id AS VARCHAR))")} AS hu
+       |  FROM documents d JOIN curated c ON c.doc_id = d.doc_id
+       |  WHERE c.kept AND d.source IN ('src0', 'src1', 'src2')
+       |), sg AS (
+       |  SELECT source, doc_id, weight,
+       |    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+       |         THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END
+       |      AS BIGINT) AS hs
+       |  FROM kd
+       |), cm AS (
+       |  SELECT source, doc_id, weight,
+       |    CAST(sum(weight) OVER (PARTITION BY source ORDER BY hs, doc_id
+       |      ROWS UNBOUNDED PRECEDING) - weight AS BIGINT) AS cum_before
+       |  FROM sg
+       |)
+       |SELECT source, doc_id, weight, cum_before FROM cm
+       |WHERE cum_before < CASE source WHEN 'src0' THEN 1500
+       |                               WHEN 'src1' THEN 999999
+       |                               ELSE 1 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def pplBucketsSql: String =
     "WITH scores AS (" + oracleSqlBase("q_lm_ppl") + """
       |), nn AS (
@@ -970,6 +1020,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("q_ppl_buckets" -> pplBucketsSql) +
+    ("q_curate_mix" -> curateMixSql) +
     ("kg_incremental" -> oracleSqlBase("kg_edges")) +
     ("kg_streaming" -> oracleSqlBase("kg_edges")) +
     ("q_knn_lsh" -> oracleSqlBase("q_knn")) + // fixture blocking is exhaustive

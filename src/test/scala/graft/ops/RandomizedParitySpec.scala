@@ -103,4 +103,66 @@ class RandomizedParitySpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial (n=$n budget=$budget)")
     }
   }
+
+  test("rankBucketsBy == brute force across random group shapes (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(4000 + trial)
+      val nGroups = 1 + rnd.nextInt(5)
+      val n = 1 + rnd.nextInt(250)
+      val k = 1 + rnd.nextInt(6)
+      val scoreRange = 1 + rnd.nextInt(12) // small range => heavy ties
+      val rows = (0 until n).map(i =>
+        ("g" + rnd.nextInt(nGroups), i.toLong, rnd.nextInt(scoreRange).toDouble))
+      val got = Percentile.rankBucketsBy(
+          rows.toDF("lang", "doc_id", "score")
+            .repartition(1 + rnd.nextInt(6)), k)
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val gn = rs.size
+        rs.sortBy { case (_, id, s) => (s, id) }.zipWithIndex.map {
+          case ((_, id, _), i) => id -> ((i + 1L, (i.toLong * k) / gn))
+        }
+      }
+      assert(got == expected, s"trial $trial (groups=$nGroups n=$n k=$k)")
+    }
+  }
+
+  test("mixByBudget == brute force across random budget shapes (8 seeded trials)") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextHashKernels
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(5000 + trial)
+      val nSources = 1 + rnd.nextInt(4)
+      val n = rnd.nextInt(200)
+      val rows = (0 until n).map(i =>
+        ("s" + rnd.nextInt(nSources), i.toLong, rnd.nextInt(50).toLong))
+      // random budgets: some zero (keep nothing), some partial, some huge;
+      // one source may be left unbudgeted entirely
+      val budgets = (0 until nSources).filter(_ => rnd.nextBoolean() || nSources == 1)
+        .map(s => "s" + s -> Seq(0L, 1L + rnd.nextInt(300),
+          100000L)(rnd.nextInt(3))).toMap
+      if (budgets.nonEmpty) {
+        val got = Mixing.mixByBudget(
+            rows.toDF("source", "doc_id", "n_chars")
+              .repartition(1 + rnd.nextInt(6)), budgets)
+          .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+        def fnv(src: String, id: Long): Long = TextHashKernels.fingerprint64(
+          UTF8String.fromString(s"mix|$src|$id"))
+        val expected = rows.filter(r => budgets.contains(r._1)).groupBy(_._1)
+          .flatMap { case (src, rs) =>
+            var cum = 0L
+            rs.sortBy { case (s, id, _) => (fnv(s, id), id) }.flatMap {
+              case (_, id, w) =>
+                val keep = cum < budgets(src); cum += w
+                if (keep) Some(id -> (cum - w)) else None
+            }
+          }
+        assert(got == expected,
+          s"trial $trial (sources=$nSources n=$n budgets=$budgets)")
+      }
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Mixing, Multimodal, Percentile, Perplexity, QualityClassifier, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Mixing, Multimodal, Percentile, Perplexity, QualityClassifier, Quantize, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -17,7 +17,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     neardup-delta | dedup-ingest | split | stratified |
   *                     mix | sessionize | token-stats | quality | repetition |
   *                     pack-shards | lang-id |
-  *                     scrub | top-terms | fingerprint | knn | knn-lsh |
+  *                     scrub | top-terms | fingerprint | knn | knn-q8 |
+  *                     quantize | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
   *                     embed-neardup | semdedup | media-meta |
   *                     media-features | frame-sample |
@@ -188,6 +189,9 @@ object DataMain {
         graft.functions.TextHash.fingerprint64(col("text")).as("fp"),
         graft.functions.TextHash.simhash64(col("text")).as("sh"))
       case "knn" => Similarity.bruteForceTopK(df, annQueries, n("k", 10))
+      case "quantize" =>
+        Quantize.encode(df, Quantize.fit(df))
+      case "knn-q8" => Quantize.knnTopK(df, annQueries, n("k", 10))
       case "knn-lsh" => Similarity.lshTopK(df, annQueries, n("k", 10),
         Similarity.LshConfig(tables = n("tables", 8), bits = n("bits", 10)))
       case "knn-ivf" => Similarity.ivfTopK(df, annQueries, n("k", 10),

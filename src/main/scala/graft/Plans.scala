@@ -404,6 +404,32 @@ object Plans {
         (s => !s.toLowerCase.contains("lambdafunction")))
     }
 
+    // --- int8 quantization: the encode is a MAP-ONLY typed kernel (the
+    // O(dim) fitted params ride the closure, never a join) and the
+    // quantized kNN keeps q_knn's partial-top-k shape over the
+    // dequantized corpus ---
+    {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.ops.Quantize.fit(emb)
+      audit("q_quantize", graft.ops.Quantize.encode(emb, p),
+          execute = true)(
+        "map-only encode: zero exchanges" -> (s => !s.contains("Exchange")),
+        "typed kernel, no lambda higher-order functions" ->
+          (s => s.contains("MapPartitions") &&
+            !s.toLowerCase.contains("lambdafunction")))
+      val qs = emb
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.lit(50)) === 0)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("q_embedding"))
+      audit("q_knn_q8", graft.ops.Quantize.knnTopK(emb, qs, 10),
+          execute = true)(
+        "partial top-k kernel over the dequantized corpus, no cross join" ->
+          (s => s.contains("MapPartitions") && !s.contains("CartesianProduct") &&
+            !s.contains("BroadcastNestedLoopJoin")))
+    }
+
     // --- bigram-LM perplexity: the count tables (O(target tokens) rows)
     // must broadcast into the raw-corpus bigram scan — the corpus NEVER
     // shuffles to meet them — and the per-doc score is a partial+final

@@ -416,6 +416,29 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // int8 scalar quantization of the embedding corpus (per-dim min/max
+    // fit + clamped floor codes), published EXPLODED (vec_id, pos, code)
+    // so the compare is pure scalar ints; the oracle refits the identical
+    // stats and formula in SQL
+    "q_quantize" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.ops.Quantize.fit(emb)
+      graft.ops.Quantize.encode(emb, p)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .toDF("vec_id", "pos", "code")
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+    // asymmetric quantized ANN: full-precision queries scored against the
+    // int8-dequantized corpus — same top-k contract as q_knn; the oracle
+    // replays the whole quantize -> dequantize -> cosine-rank chain
+    "q_knn_q8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ops.Quantize.knnTopK(emb, queries, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // fixture config tables=32/bits=2: the driver embeddings are near-random
     // (cosine mass right at the 0.30 threshold), so the blocking is made
     // near-exhaustive at this corpus size (per-pair miss ~7e-7,
@@ -850,6 +873,8 @@ object SparkEntry {
     "q_repetition" -> queries("q_repetition"),
     "q_pack_shards" -> queries("q_pack_shards"),
     "q_knn" -> queries("q_knn"),
+    "q_quantize" -> queries("q_quantize"),
+    "q_knn_q8" -> queries("q_knn_q8"),
     // corpus-scale ANN: 8 tables × 10 bits (buckets stay ~Vecs/1024/table)
     "q_knn_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -924,6 +949,7 @@ object SparkEntry {
     "q_ppl_buckets_10x" -> at10x("q_ppl_buckets"),
     "q_lang_buckets_10x" -> at10x("q_lang_buckets"),
     "q_mix_10x" -> at10x("q_mix"),
+    "q_quantize_10x" -> at10x("q_quantize"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
     "q_pack_shards_10x" -> at10x("q_pack_shards"))
@@ -961,6 +987,7 @@ object SparkEntry {
       "q_ppl_buckets_10x" -> retargetSql(pplBucketsSql, d, Seq("documents")),
       "q_lang_buckets_10x" -> retargetSql(oracleSqlBase("q_lang_buckets"), d, Seq("documents")),
       "q_mix_10x" -> retargetSql(oracleSqlBase("q_mix"), d, Seq("documents")),
+      "q_quantize_10x" -> retargetSql(oracleSqlBase("q_quantize"), d, Seq("embeddings")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
       "q_pack_shards_10x" -> retargetSql(oracleSqlBase("q_pack_shards"), d, Seq("documents")))
@@ -1982,6 +2009,56 @@ object SparkEntry {
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |         list_cosine_similarity(q.qe, e.embedding) AS cos
         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // int8 quantization codes: the per-dim min/max refit via DuckDB's
+    // zipped unnest + generate_subscripts, then the identical fixed-order
+    // double expression (flat dims guarded against the inf that a raw
+    // divide-by-zero floor would clamp to 255)
+    "q_quantize" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), mm AS (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx FROM el GROUP BY pos
+        |)
+        |SELECT el.vec_id, CAST(el.pos - 1 AS INT) AS pos,
+        |  CAST(CASE WHEN mm.mx = mm.mn THEN 0
+        |       ELSE least(greatest(floor((CAST(el.v AS DOUBLE) - CAST(mm.mn AS DOUBLE)) * 255.0
+        |            / (CAST(mm.mx AS DOUBLE) - CAST(mm.mn AS DOUBLE))), 0), 255) END AS INT) AS code
+        |FROM el JOIN mm USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+    // quantized ANN: rebuild the dequantized corpus in SQL (same double
+    // expression rounded once to float32) and rank with the q_knn chain
+    "q_knn_q8" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings
+        |), mm AS (
+        |  SELECT pos, min(v) AS mn, max(v) AS mx FROM el GROUP BY pos
+        |), mml AS (
+        |  SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl FROM mm
+        |), dq AS (
+        |  SELECT vec_id, list_transform(range(1, len(embedding)+1),
+        |    i -> CAST(CAST(mnl[i] AS DOUBLE) +
+        |         (CASE WHEN mxl[i] = mnl[i] THEN 0
+        |          ELSE least(greatest(floor((CAST(embedding[i] AS DOUBLE) - CAST(mnl[i] AS DOUBLE)) * 255.0
+        |               / (CAST(mxl[i] AS DOUBLE) - CAST(mnl[i] AS DOUBLE))), 0), 255) END)
+        |         * (CAST(mxl[i] AS DOUBLE) - CAST(mnl[i] AS DOUBLE)) / 255.0 AS FLOAT)) AS de
+        |  FROM embeddings, mml
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+        |), scored AS (
+        |  SELECT q.query_id, d.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qe, d.de) AS cos
+        |  FROM q, dq d WHERE d.vec_id <> q.query_id
         |), ranked AS (
         |  SELECT query_id, neighbor_id,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank

@@ -83,6 +83,20 @@ class DataMainSpec extends AnyFunSuite {
     assertCliEqualsLibrary(out, graft.ops.Similarity.bruteForceTopK(emb, q, 5))
   }
 
+  test("quantize + knn-q8 CLI == Quantize library calls") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.ops.Quantize.fit(emb)
+    assertCliEqualsLibrary(
+      cli("--op", "quantize", "--in", s"$sf/embeddings.parquet"),
+      graft.ops.Quantize.encode(emb, p))
+    val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    assertCliEqualsLibrary(
+      cli("--op", "knn-q8", "--in", s"$sf/embeddings.parquet", "--k", "5"),
+      graft.ops.Quantize.knnTopK(emb, q, 5))
+  }
+
   test("token-stats and fingerprint CLI == TextStats/TextHash") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     assertCliEqualsLibrary(

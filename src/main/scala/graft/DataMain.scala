@@ -18,7 +18,7 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     mix | sessionize | token-stats | quality | repetition |
   *                     pack-shards | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-q8 |
-  *                     quantize | knn-lsh |
+  *                     quantize | q8-build | knn-q8-indexed | knn-lsh |
   *                     knn-ivf | ivf-build | ivf-append | knn-ivf-indexed |
   *                     embed-neardup | semdedup | media-meta |
   *                     media-features | frame-sample |
@@ -192,6 +192,13 @@ object DataMain {
       case "quantize" =>
         Quantize.encode(df, Quantize.fit(df))
       case "knn-q8" => Quantize.knnTopK(df, annQueries, n("k", 10))
+      case "q8-build" | "knn-q8-indexed" =>
+        val idx = args.getOrElse("index", throw new IllegalArgumentException(
+          s"--index is required for $op"))
+        if (op == "q8-build") {
+          Quantize.buildQ8Index(df, idx)
+          spark.read.parquet(s"$idx/codes.parquet") // the built artifact
+        } else Quantize.knnQ8Indexed(df, annQueries, n("k", 10), idx)
       case "knn-lsh" => Similarity.lshTopK(df, annQueries, n("k", 10),
         Similarity.LshConfig(tables = n("tables", 8), bits = n("bits", 10)))
       case "knn-ivf" => Similarity.ivfTopK(df, annQueries, n("k", 10),

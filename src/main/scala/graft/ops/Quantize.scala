@@ -127,4 +127,88 @@ object Quantize {
       dequantize(encode(emb, params, idCol, embCol), params, idCol),
       queries, k)
   }
+
+  // ---- persisted int8 index ------------------------------------------------
+
+  private def q8MetaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_META.json")
+
+  // one canonical rendering, compared WHOLE by the indexed reader (the
+  // Similarity IVF-index convention: substring/prefix checks would
+  // false-match numbers or skip fields)
+  private def q8Meta(fp: Long, n: Long, dim: Int): String =
+    s"""{"fingerprint":$fp,"count":$n,"dim":$dim}""" + "\n"
+
+  private val Q8MetaRe =
+    """\{"fingerprint":(-?\d+),"count":(\d+),"dim":(\d+)\}\n?""".r
+
+  /** Order-independent corpus fingerprint (xor of per-row hashes + count)
+    * — same guard as the persisted IVF index. */
+  private def corpusFingerprint(corpus: DataFrame, idCol: String,
+      embCol: String): (Long, Long) = {
+    val row = corpus.agg(
+      bit_xor(xxhash64(col(idCol), col(embCol))), count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
+  /** Fit + encode ONCE and persist under `dir`: `params.parquet`
+    * (pos, mn, mx — O(dim) rows), `codes.parquet` (4x smaller than the
+    * float corpus) and `_META.json` with the corpus fingerprint. Repeated
+    * query batches then use [[knnQ8Indexed]], whose scoring pass reads the
+    * int8 codes instead of the floats. Single-writer, like the IVF index. */
+  def buildQ8Index(corpus: DataFrame, dir: String, idCol: String = "vec_id",
+      embCol: String = "embedding"): Params = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (fp, n) = corpusFingerprint(corpus, idCol, embCol)
+    val p = fit(corpus, embCol)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    p.mins.indices.map(i => (i, p.mins(i), p.maxes(i))).toDF("pos", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params.parquet")
+    encode(corpus, p, idCol, embCol)
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    java.nio.file.Files.writeString(q8MetaPath(dir), q8Meta(fp, n, p.dim))
+    p
+  }
+
+  /** Load the persisted per-dimension params (O(dim) rows). */
+  def loadParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Params = {
+    val rows = spark.read.parquet(s"$dir/params.parquet")
+      .orderBy(col("pos")).collect()
+    require(rows.nonEmpty && rows.head.getInt(0) == 0 &&
+      rows.last.getInt(0) == rows.length - 1,
+      s"Quantize.loadParams: corrupt params at $dir")
+    Params(rows.map(_.getFloat(1)), rows.map(_.getFloat(2)))
+  }
+
+  /** Quantized kNN against a PERSISTED index: validates the stored meta
+    * against the live corpus fingerprint (stale index throws, never
+    * silently serves the wrong neighbors — the one field the reader cannot
+    * re-derive, `dim`, is pinned by the whole-string compare around it),
+    * then scores the full-precision queries against the stored codes —
+    * the corpus floats are read only by the one-pass fingerprint agg, the
+    * scoring scan is the 4x-smaller code table. Output identical to
+    * [[knnTopK]] on the same corpus (same params, same codes). */
+  def knnQ8Indexed(corpus: DataFrame, queries: DataFrame, k: Int,
+      dir: String, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val meta = java.nio.file.Files.readString(q8MetaPath(dir))
+    val (fp, n) = corpusFingerprint(corpus, idCol, embCol)
+    val dim = meta match {
+      case Q8MetaRe(_, _, d) => d.toInt
+      case _ => throw new IllegalArgumentException(
+        s"unparseable q8 meta at $dir: ${meta.trim} — rebuild with buildQ8Index")
+    }
+    require(meta == q8Meta(fp, n, dim),
+      s"q8 index at $dir does not match this corpus " +
+        s"(stored ${meta.trim}, expected ${q8Meta(fp, n, dim).trim}) — " +
+        "rebuild with buildQ8Index")
+    val p = loadParams(spark, dir)
+    require(p.dim == dim, s"params dim ${p.dim} != meta dim $dim at $dir")
+    Similarity.bruteForceTopK(
+      dequantize(spark.read.parquet(s"$dir/codes.parquet"), p, idCol),
+      queries, k)
+  }
 }

@@ -95,6 +95,15 @@ class DataMainSpec extends AnyFunSuite {
     assertCliEqualsLibrary(
       cli("--op", "knn-q8", "--in", s"$sf/embeddings.parquet", "--k", "5"),
       graft.ops.Quantize.knnTopK(emb, q, 5))
+    // persisted index round trip through the CLI (--index required)
+    val idx = java.nio.file.Files.createTempDirectory("graft-q8-cli").toString + "/idx"
+    cli("--op", "q8-build", "--in", s"$sf/embeddings.parquet", "--index", idx)
+    assertCliEqualsLibrary(
+      cli("--op", "knn-q8-indexed", "--in", s"$sf/embeddings.parquet",
+        "--index", idx, "--k", "5"),
+      graft.ops.Quantize.knnTopK(emb, q, 5))
+    intercept[IllegalArgumentException](graft.DataMain.run(spark, "q8-build",
+      s"$sf/embeddings.parquet", Map.empty))
   }
 
   test("token-stats and fingerprint CLI == TextStats/TextHash") {

@@ -82,6 +82,29 @@ class QuantizeSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("dim")))
   }
 
+  test("persisted q8 index: indexed == fresh; stale corpus throws") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(50)) === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q8idx").toString
+    Quantize.buildQ8Index(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(Quantize.knnQ8Indexed(emb, queries, 10, dir)) ==
+      rows(Quantize.knnTopK(emb, queries, 10)))
+    // stale guard: one extra corpus row changes the fingerprint
+    val stale = emb.unionByName(
+      Seq((999999L, Seq.fill(64)(0.5f), 0)).toDF("vec_id", "embedding", "label"))
+    val e = intercept[IllegalArgumentException](
+      Quantize.knnQ8Indexed(stale, queries, 10, dir))
+    assert(e.getMessage.contains("does not match"))
+  }
+
   test("codes invariant to input partitioning") {
     val p = Quantize.fit(vecs(corpus: _*))
     def run(parts: Int) = Quantize.encode(

@@ -15,7 +15,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
   *                     simhash-pairs | doc-groups | dedup-delta |
   *                     neardup-delta | dedup-ingest | split | stratified |
-  *                     mix | sessionize | token-stats | quality | repetition |
+  *                     mix | chunk | sessionize | token-stats | quality |
+  *                     repetition |
   *                     pack-shards | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-q8 |
   *                     quantize | q8-build | knn-q8-indexed | knn-lsh |
@@ -84,6 +85,7 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *                     buckets within each group)             [score]
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
+  *   --window-w W / --stride S     chunk token windows       [40 / 30]
   *   --window-w W / --min-docs D   dup-spans / dup-spans-clean
   *                     window tokens / distinct-doc
   *                     threshold                            [8 / 2]
@@ -258,6 +260,9 @@ object DataMain {
           throw new IllegalArgumentException("--benchmark is required for contamination")))
         Contamination.flagContaminated(df, bench, n("shingle-n", 6),
           s("id-col", "doc_id"), s("text-col", "text"))
+      case "chunk" =>
+        TextStats.chunk(df, n("window-w", 40), n("stride", 30),
+          s("id-col", "doc_id"), s("text-col", "text"))
       case "dup-spans" =>
         DupSpans.dupSpanStats(df, n("window-w", 8), n("min-docs", 2),
           s("id-col", "doc_id"), s("text-col", "text"))
@@ -311,6 +316,7 @@ object DataMain {
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
+    "stride",
     "add-k", "assign", "max-cluster", "positive", "negative", "score-col",
     "by-col", "budgets")
 

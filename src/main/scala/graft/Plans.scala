@@ -489,6 +489,17 @@ object Plans {
       m.free()
     }
 
+    // --- token-window chunking: a map-only typed kernel — no exchanges at
+    // all (the query-level output sort is added by the driver query, not
+    // the op), no lambda HOFs ---
+    audit("q_chunk", graft.ops.TextStats.chunk(
+        spark.read.parquet(s"$dir/documents.parquet"), 40, 30),
+        execute = true)(
+      "map-only: zero exchanges" -> (s => !s.contains("Exchange")),
+      "typed kernel, no lambda higher-order functions" ->
+        (s => s.contains("MapPartitions") &&
+          !s.toLowerCase.contains("lambdafunction")))
+
     // --- source mixing: the budgeted-source filter must reach the parquet
     // scan; the per-source offsets and the budget table both broadcast
     // (O(partitions+sources) and O(sources) rows); never a per-source

@@ -780,6 +780,15 @@ object SparkEntry {
           4, scoreCol = "n_chars", byCol = "lang")
         .orderBy(col("doc_id"))
     }),
+    // deterministic token-window chunking (embedding-prep / RAG): 40-token
+    // windows every 30 tokens — overlap, partial tails, and empty-doc
+    // elision all exercised; the oracle re-derives identical chunks via
+    // regexp_extract_all + 1-based list slicing
+    "q_chunk" -> ((s, dir) => {
+      graft.ops.TextStats.chunk(
+          s.read.parquet(s"$dir/documents.parquet"), 40, 30)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     // deterministic source mixing (Pile-style per-set budgets): fill each
     // budgeted source with docs in salted-FNV order until its char budget
     // is spent — partial fill (src0/src1), single-doc overshoot (src2,
@@ -868,6 +877,7 @@ object SparkEntry {
     "q_ppl_buckets" -> queries("q_ppl_buckets"),
     "q_lang_buckets" -> queries("q_lang_buckets"),
     "q_mix" -> queries("q_mix"),
+    "q_chunk" -> queries("q_chunk"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -949,6 +959,7 @@ object SparkEntry {
     "q_ppl_buckets_10x" -> at10x("q_ppl_buckets"),
     "q_lang_buckets_10x" -> at10x("q_lang_buckets"),
     "q_mix_10x" -> at10x("q_mix"),
+    "q_chunk_10x" -> at10x("q_chunk"),
     "q_quantize_10x" -> at10x("q_quantize"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
@@ -987,6 +998,7 @@ object SparkEntry {
       "q_ppl_buckets_10x" -> retargetSql(pplBucketsSql, d, Seq("documents")),
       "q_lang_buckets_10x" -> retargetSql(oracleSqlBase("q_lang_buckets"), d, Seq("documents")),
       "q_mix_10x" -> retargetSql(oracleSqlBase("q_mix"), d, Seq("documents")),
+      "q_chunk_10x" -> retargetSql(oracleSqlBase("q_chunk"), d, Seq("documents")),
       "q_quantize_10x" -> retargetSql(oracleSqlBase("q_quantize"), d, Seq("embeddings")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
@@ -1421,6 +1433,20 @@ object SparkEntry {
         |)
         |SELECT lang, doc_id, n_chars, rank, ((rank - 1) * 4) // n AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // token-window chunking: identical \S+ tokenization, start positions
+    // from a stepped range (exclusive end, so an empty doc yields zero
+    // chunks), chunks via 1-based INCLUSIVE list slicing
+    "q_chunk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), st AS (
+        |  SELECT doc_id, ts, unnest(range(0, len(ts), 30)) AS s
+        |  FROM tk WHERE len(ts) > 0
+        |)
+        |SELECT doc_id, CAST(s // 30 AS INT) AS chunk_id,
+        |  CAST(least(s + 40, len(ts)) - s AS INT) AS n_tokens,
+        |  array_to_string(ts[s+1 : least(s+40, len(ts))], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     // source mixing: the hash is re-derived in HUGEINT, reinterpreted
     // signed (the engine orders by the SIGNED int64), and the per-source
     // exclusive prefix fill is replayed with a window; budgets mirror the

@@ -196,4 +196,37 @@ object TextStats {
       .select((Seq(col("doc_id"), col("lang_tag"), col("pred_lang")) ++
         langMarkers.map { case (l, _) => col(s"score_$l") }): _*)
   }
+
+  /** Deterministic token-window chunking — the embedding-prep stage of a
+    * retrieval/RAG pipeline: each document becomes overlapping windows of
+    * `windowTokens` whitespace tokens starting every `strideTokens`
+    * (`stride == window` gives disjoint chunks; `stride < window` the
+    * standard overlap). The final window is partial if the document ends
+    * mid-stride; an empty document yields zero chunks. chunk_id =
+    * start / stride, so chunk identity is a pure function of
+    * (doc, config) — re-runs and different partitionings produce identical
+    * chunk tables (the property that lets chunk embeddings be cached by
+    * (doc_id, chunk_id) across pipeline runs).
+    *
+    * Tokenization matches [[repetitionStats]]/the DSIR ops (`\S+` runs),
+    * so the DuckDB oracle re-derives identical chunks via
+    * regexp_extract_all + list slicing. Map-only typed kernel — one scan,
+    * zero shuffles, embarrassingly parallel at any corpus size. */
+  def chunk(docs: DataFrame, windowTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 &&
+      strideTokens <= windowTokens,
+      s"need 0 < stride <= window; got window=$windowTokens stride=$strideTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ts = (if (text == null) "" else text)
+          .split("\\s+").filter(_.nonEmpty)
+        Iterator.range(0, ts.length, strideTokens).map { st =>
+          val end = math.min(st + windowTokens, ts.length)
+          (id, st / strideTokens, end - st, ts.slice(st, end).mkString(" "))
+        }
+      }.toDF(idCol, "chunk_id", "n_tokens", "chunk_text")
+  }
 }

@@ -338,6 +338,14 @@ class DataMainSpec extends AnyFunSuite {
       s"$sf/documents.parquet", Map.empty))
   }
 
+  test("chunk CLI == TextStats.chunk (window/stride flags honored)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assertCliEqualsLibrary(
+      cli("--op", "chunk", "--in", s"$sf/documents.parquet",
+        "--window-w", "20", "--stride", "15"),
+      graft.ops.TextStats.chunk(docs, 20, 15))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -567,6 +567,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L) > out(2L))
   }
 
+  test("chunk: overlap/disjoint/partial/empty edges + brute parity + invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, ""),                                       // empty -> zero chunks
+      (4L, "  x   y  "))                              // ragged whitespace
+      .toDF("doc_id", "text")
+    def run(w: Int, s: Int, parts: Int = 3) =
+      TextStats.chunk(docs.repartition(parts), w, s).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+        .toMap
+    def brute(w: Int, s: Int) = Seq(
+      1L -> (1 to 10).map(i => s"t$i"), 2L -> Seq("a", "b", "c"),
+      3L -> Seq.empty[String], 4L -> Seq("x", "y")).flatMap { case (id, ts) =>
+      Range(0, ts.length, s).map { st =>
+        val chunk = ts.slice(st, math.min(st + w, ts.length))
+        (id, st / s) -> ((chunk.length, chunk.mkString(" ")))
+      }
+    }.toMap
+    for ((w, s) <- Seq((4, 3), (4, 4), (3, 1), (40, 30)))
+      assert(run(w, s) == brute(w, s), s"window=$w stride=$s")
+    assert(run(4, 3, parts = 1) == run(4, 3, parts = 7))
+    assert(run(4, 3).keySet.count(_._1 == 1L) == 4, "10 toks, stride 3 -> 4 chunks")
+    assert(!run(4, 3).keySet.exists(_._1 == 3L), "empty doc yields zero chunks")
+    intercept[IllegalArgumentException](TextStats.chunk(docs, 3, 4))
+  }
+
   test("repetitionStats: exact fractions, brute-force parity, edge lengths") {
     import spark.implicits._
     val docs = Seq(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Mixing, Multimodal, Percentile, Perplexity, QualityClassifier, Quantize, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
+import graft.ops.{Bpe, Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance, Mixing, Multimodal, Percentile, Perplexity, QualityClassifier, Quantize, Sampling, SemDedup, Sessionize, Sharding, Similarity, Temporal, TextStats}
 
 /** CLI for the training-data operator suite (the companion of [[Main]],
   * which covers the KG pipeline): run any dedup / sampling / ANN /
@@ -15,7 +15,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --op OP           dedup-exact | minhash-pairs | ngram-pairs |
   *                     simhash-pairs | doc-groups | dedup-delta |
   *                     neardup-delta | dedup-ingest | split | stratified |
-  *                     mix | chunk | sessionize | token-stats | quality |
+  *                     mix | chunk | bpe-pairs | bpe-learn | bpe-apply |
+  *                     sessionize | token-stats | quality |
   *                     repetition |
   *                     pack-shards | lang-id |
   *                     scrub | top-terms | fingerprint | knn | knn-q8 |
@@ -86,6 +87,8 @@ import graft.ops.{Contamination, Curate, Dedup, DeltaDedup, DupSpans, Importance
   *   --buckets B / --alpha A    DSIR hashed-unigram config  [1024 / 1.0]
   *   --temperature T   dsir-sample Gumbel temperature          [1.0]
   *   --window-w W / --stride S     chunk token windows       [40 / 30]
+  *   --merges N        bpe-learn merge count                  [50]
+  *   --merges-table P  bpe-apply learned merge parquet  (required)
   *   --window-w W / --min-docs D   dup-spans / dup-spans-clean
   *                     window tokens / distinct-doc
   *                     threshold                            [8 / 2]
@@ -260,6 +263,18 @@ object DataMain {
           throw new IllegalArgumentException("--benchmark is required for contamination")))
         Contamination.flagContaminated(df, bench, n("shingle-n", 6),
           s("id-col", "doc_id"), s("text-col", "text"))
+      case "bpe-pairs" => Bpe.pairCounts(df, s("text-col", "text"))
+      case "bpe-learn" =>
+        spark.createDataFrame(
+            Bpe.learnMerges(df, n("merges", 50), s("text-col", "text")))
+          .toDF("rank", "a", "b")
+      case "bpe-apply" =>
+        val mt = spark.read.parquet(args.getOrElse("merges-table",
+            throw new IllegalArgumentException(
+              "--merges-table is required for bpe-apply")))
+          .select(col("rank"), col("a"), col("b")).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+        Bpe.applyMerges(df, mt, s("id-col", "doc_id"), s("text-col", "text"))
       case "chunk" =>
         TextStats.chunk(df, n("window-w", 40), n("stride", 30),
           s("id-col", "doc_id"), s("text-col", "text"))
@@ -316,7 +331,7 @@ object DataMain {
     "payload", "prefix", "lo-col", "hi-col", "bucket-ms",
     "max-interval-buckets", "text-col", "budget", "weight-col",
     "target", "buckets", "alpha", "temperature", "window-w", "min-docs",
-    "stride",
+    "stride", "merges", "merges-table",
     "add-k", "assign", "max-cluster", "positive", "negative", "score-col",
     "by-col", "budgets")
 

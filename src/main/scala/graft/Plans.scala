@@ -489,6 +489,23 @@ object Plans {
       m.free()
     }
 
+    // --- BPE pair counts: the corpus collapses to the distinct-word table
+    // via a partial hash aggregate (map-side combined — the one
+    // corpus-scale scan), the top-50 is a TakeOrderedAndProject (never a
+    // global sort), and the word explode is relational (no lambda HOFs) ---
+    audit("q_bpe_pairs", graft.ops.Bpe.pairCounts(
+          spark.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))
+        .limit(50), execute = true)(
+      "word table via partial HashAggregate" ->
+        (s => s.contains("HashAggregate") && s.contains("partial_count")),
+      "top-50 is TakeOrderedAndProject, never a global sort" ->
+        (s => s.contains("TakeOrderedAndProject")),
+      "no lambda higher-order functions" ->
+        (s => !s.toLowerCase.contains("lambdafunction")))
+
     // --- token-window chunking: a map-only typed kernel — no exchanges at
     // all (the query-level output sort is added by the driver query, not
     // the op), no lambda HOFs ---

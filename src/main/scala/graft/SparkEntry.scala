@@ -780,6 +780,15 @@ object SparkEntry {
           4, scoreCol = "n_chars", byCol = "lang")
         .orderBy(col("doc_id"))
     }),
+    // BPE vocabulary induction, iteration 0 (the oracle-able stage of the
+    // tokenizer-training loop): adjacent character-pair counts over the
+    // distinct-word frequency table, top 50 under the total order
+    // (cnt desc, a, b) — the same argmax rule the iterative learner uses
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.ops.Bpe.pairCounts(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(50)
+    }),
     // deterministic token-window chunking (embedding-prep / RAG): 40-token
     // windows every 30 tokens — overlap, partial tails, and empty-doc
     // elision all exercised; the oracle re-derives identical chunks via
@@ -878,6 +887,7 @@ object SparkEntry {
     "q_lang_buckets" -> queries("q_lang_buckets"),
     "q_mix" -> queries("q_mix"),
     "q_chunk" -> queries("q_chunk"),
+    "q_bpe_pairs" -> queries("q_bpe_pairs"),
     "q_dup_spans" -> queries("q_dup_spans"),
     "q_dup_spans_clean" -> queries("q_dup_spans_clean"),
     "q_repetition" -> queries("q_repetition"),
@@ -960,6 +970,7 @@ object SparkEntry {
     "q_lang_buckets_10x" -> at10x("q_lang_buckets"),
     "q_mix_10x" -> at10x("q_mix"),
     "q_chunk_10x" -> at10x("q_chunk"),
+    "q_bpe_pairs_10x" -> at10x("q_bpe_pairs"),
     "q_quantize_10x" -> at10x("q_quantize"),
     "q_dup_spans_10x" -> at10x("q_dup_spans"),
     "q_dup_spans_clean_10x" -> at10x("q_dup_spans_clean"),
@@ -999,6 +1010,7 @@ object SparkEntry {
       "q_lang_buckets_10x" -> retargetSql(oracleSqlBase("q_lang_buckets"), d, Seq("documents")),
       "q_mix_10x" -> retargetSql(oracleSqlBase("q_mix"), d, Seq("documents")),
       "q_chunk_10x" -> retargetSql(oracleSqlBase("q_chunk"), d, Seq("documents")),
+      "q_bpe_pairs_10x" -> retargetSql(oracleSqlBase("q_bpe_pairs"), d, Seq("documents")),
       "q_quantize_10x" -> retargetSql(oracleSqlBase("q_quantize"), d, Seq("embeddings")),
       "q_dup_spans_10x" -> retargetSql(oracleSqlBase("q_dup_spans"), d, Seq("documents")),
       "q_dup_spans_clean_10x" -> retargetSql(oracleSqlBase("q_dup_spans_clean"), d, Seq("documents")),
@@ -1433,6 +1445,25 @@ object SparkEntry {
         |)
         |SELECT lang, doc_id, n_chars, rank, ((rank - 1) * 4) // n AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // BPE iteration-0 pair counts: distinct lowercased words + counts,
+    // chars via list_transform over a 1-based range + the '</w>' marker,
+    // adjacent pairs weighted by word count, identical total order
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT t.w AS word, count(*) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |    FROM documents) t
+        |  GROUP BY 1
+        |), sy AS (
+        |  SELECT word, wc, list_append(
+        |    list_transform(range(1, len(word)+1), i -> word[i]), '</w>') AS s
+        |  FROM w
+        |), pe AS (
+        |  SELECT wc, s, unnest(range(1, len(s))) AS i FROM sy
+        |)
+        |SELECT s[i] AS a, s[i+1] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+        |FROM pe GROUP BY 1, 2
+        |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
     // token-window chunking: identical \S+ tokenization, start positions
     // from a stepped range (exclusive end, so an empty doc yields zero
     // chunks), chunks via 1-based INCLUSIVE list slicing

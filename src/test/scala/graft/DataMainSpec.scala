@@ -346,6 +346,24 @@ class DataMainSpec extends AnyFunSuite {
       graft.ops.TextStats.chunk(docs, 20, 15))
   }
 
+  test("bpe-pairs/learn/apply CLI == Bpe library calls (merges-table required)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assertCliEqualsLibrary(
+      cli("--op", "bpe-pairs", "--in", s"$sf/documents.parquet"),
+      graft.ops.Bpe.pairCounts(docs))
+    val merges = graft.ops.Bpe.learnMerges(docs, 5)
+    val learned = cli("--op", "bpe-learn", "--in", s"$sf/documents.parquet",
+      "--merges", "5")
+    assertCliEqualsLibrary(learned,
+      spark.createDataFrame(merges).toDF("rank", "a", "b"))
+    assertCliEqualsLibrary(
+      cli("--op", "bpe-apply", "--in", s"$sf/documents.parquet",
+        "--merges-table", learned),
+      graft.ops.Bpe.applyMerges(docs, merges))
+    intercept[IllegalArgumentException](graft.DataMain.run(spark, "bpe-apply",
+      s"$sf/documents.parquet", Map.empty))
+  }
+
   test("dsir-weights + dsir-sample CLI == Importance (target flag required)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

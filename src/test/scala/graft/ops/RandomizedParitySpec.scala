@@ -165,4 +165,77 @@ class RandomizedParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunk == brute force across random corpus/window shapes (8 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 8) {
+      val rnd = new scala.util.Random(6000 + trial)
+      val nDocs = 1 + rnd.nextInt(30)
+      val vocab = Array("aa", "bb", "cc", "dd")
+      val rows = (0 until nDocs).map { i =>
+        val nTok = rnd.nextInt(25)
+        (i.toLong, Seq.fill(nTok)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val w = 1 + rnd.nextInt(8)
+      val s = 1 + rnd.nextInt(w)
+      val got = TextStats.chunk(
+          rows.toDF("doc_id", "text").repartition(1 + rnd.nextInt(5)), w, s)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3))))
+        .toMap
+      val expected = rows.flatMap { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        Range(0, ts.length, s).map { st =>
+          val c = ts.slice(st, math.min(st + w, ts.length))
+          (id, st / s) -> ((c.length, c.mkString(" ")))
+        }
+      }.toMap
+      assert(got == expected, s"trial $trial (docs=$nDocs w=$w s=$s)")
+    }
+  }
+
+  test("learnMerges == reference BPE across random corpora (5 seeded trials)") {
+    import spark.implicits._
+    for (trial <- 0 until 5) {
+      val rnd = new scala.util.Random(7000 + trial)
+      val alphabet = "abcd"
+      val nDocs = 1 + rnd.nextInt(10)
+      val rows = (0 until nDocs).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(8)) {
+          Seq.fill(1 + rnd.nextInt(5))(alphabet(rnd.nextInt(4))).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }
+      val n = 1 + rnd.nextInt(6)
+      val got = Bpe.learnMerges(
+          rows.toDF("doc_id", "text").repartition(1 + rnd.nextInt(4)), n)
+        .map { case (_, a, b) => (a, b) }
+      // driver-side reference (same rule: argmax (cnt desc, a, b), stop < 2)
+      var vocab = rows.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity)
+        .map { case (wd, ws) =>
+          (wd.map(_.toString).toVector :+ "</w>") -> ws.size.toLong }
+        .toVector
+      var merges = Vector.empty[(String, String)]
+      var done = false
+      while (merges.length < n && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (sq, c) =>
+          sq.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        val best = if (counts.isEmpty) None
+          else Some(counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) })
+        best match {
+          case Some(((a, b), c)) if c >= 2 =>
+            merges :+= ((a, b))
+            vocab = vocab.map { case (sq, cc) =>
+              Bpe.mergePair(sq.toArray, a, b).toVector -> cc }
+          case _ => done = true
+        }
+      }
+      assert(got == merges, s"trial $trial (docs=$nDocs n=$n)")
+    }
+  }
 }

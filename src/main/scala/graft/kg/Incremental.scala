@@ -132,13 +132,27 @@ object Incremental {
       }.mkString("", "\n", "\n"))
 
   /** Run (or resume) `runId` over the transcript table. Returns the number
-    * of buckets actually processed this invocation. */
+    * of buckets actually processed this invocation.
+    *
+    * Buckets are independent partitions of the input writing through an
+    * idempotent MERGE (batch-order independence is property-tested), so up
+    * to `maxConcurrentBuckets` of them run as CONCURRENT driver-submitted
+    * jobs (guide-standard overlap: the next bucket's tasks back-fill
+    * executors idled by the current bucket's straggler tail — 2-3 in
+    * flight is the sweet spot; the delta-append manifest flips are
+    * lock-serialized and create-exclusive, built for exactly this shape).
+    * `failAtBucket` (the resume-test injection hook) forces sequential
+    * execution so the completed-bucket set at the failure point stays
+    * deterministic; per-bucket `link.lsh` cap attribution is also recorded
+    * only in sequential mode (concurrent buckets would interleave the
+    * process-wide metric sequence — the caps still reach driver logs). */
   def run(turns: Dataset[Turn], dict: DataFrame, outDir: String, runId: String,
       nBuckets: Int = 16,
       linkCfg: Link.Config = Link.Config(fuzzy = false),
       failAtBucket: Option[Int] = None,
       recordCounts: Boolean = false,
-      compactEvery: Int = 8): Int = {
+      compactEvery: Int = 8,
+      maxConcurrentBuckets: Int = 2): Int = {
     val spark = turns.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val done = completedBuckets(spark, outDir, runId)
@@ -148,9 +162,10 @@ object Incremental {
     // instead of re-running the upstream derivation per bucket. (At cluster
     // scale the input IS a table; this matters when `turns` is computed.)
     val input = turns.localCheckpoint(eager = true)
-    var processed = 0
-    try {
-    todo.foreach { b =>
+    val sequential = failAtBucket.isDefined || maxConcurrentBuckets <= 1
+    val processed = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def runBucket(b: Int): Unit = {
       failAtBucket.foreach(f => if (f == b)
         throw new RuntimeException(s"injected failure at bucket $b"))
       val t0 = System.currentTimeMillis()
@@ -186,9 +201,9 @@ object Incremental {
       // cap observability into the run's _metrics table ("no silent caps"):
       // fuzzy LSH bucket drops for THIS bucket's linking pass — recorded
       // only if the site fired during this bucket (seq advanced), never
-      // another query's stale values
+      // another query's stale values (sequential mode only; see scaladoc)
       val lshCaps =
-        if (graft.ops.CapMetrics.seqOf("link.lsh") > lshSeqBefore)
+        if (sequential && graft.ops.CapMetrics.seqOf("link.lsh") > lshSeqBefore)
           graft.ops.CapMetrics.latest("link.lsh").toSeq.map {
             case (k, v) => (runId, "link.lsh", b, k, v)
           }
@@ -196,15 +211,37 @@ object Incremental {
       appendMetrics(spark, outDir, Seq(
         (runId, "pipeline", b, "rows_in", rowsIn),
         (runId, "pipeline", b, "edges_bucket_out", rowsOut)) ++ lshCaps)
-      processed += 1
+      processed.incrementAndGet()
+      ()
     }
-    // end-of-run compaction: fold trailing deltas into a fresh base so
-    // steady-state reads pay zero merge-on-read cost (independent tables —
-    // concurrent jobs)
-    parallel2(
-      () => Materialize.compact(spark, s"$outDir/edges"),
-      () => Materialize.compact(spark, s"$outDir/nodes"))
-    processed
+
+    try {
+      if (sequential) todo.foreach(runBucket)
+      else {
+        // bounded concurrency on a dedicated pool (the global EC would cap
+        // at CPU count and is shared); FIFO job scheduling gives the
+        // back-fill behaviour — earlier buckets get resources first, later
+        // buckets use what is left
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentBuckets, todo.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = todo.map(b => scala.concurrent.Future(runBucket(b)))
+          // await ALL (even on failure — an abandoned in-flight bucket would
+          // race the cleanup below), then rethrow the first failure
+          val rs = fs.map(f => scala.util.Try(scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)))
+          rs.foreach(_.get)
+        } finally pool.shutdown()
+      }
+      // end-of-run compaction: fold trailing deltas into a fresh base so
+      // steady-state reads pay zero merge-on-read cost (independent tables —
+      // concurrent jobs)
+      parallel2(
+        () => Materialize.compact(spark, s"$outDir/edges"),
+        () => Materialize.compact(spark, s"$outDir/nodes"))
+      processed.get()
     } finally input.unpersist() // also on a mid-bucket failure (resume re-checkpoints)
   }
 
@@ -346,36 +383,44 @@ object Incremental {
       def bc(df: DataFrame): DataFrame = if (hintBc) broadcast(df) else df
 
       // AFFECTED edge rows only: delete the pre-rewrite rows, insert the
-      // rewritten ones — O(affected) written, not O(table)
+      // rewritten ones — O(affected) written, not O(table). Edges and nodes
+      // are independent tables: their rewrite scans + appendRewrites run as
+      // concurrent driver-submitted jobs (the per-bucket appendDelta shape)
       val rwSubj = bc(rewrite.select(col("old_guid").as("s_old"), col("new_guid").as("s_new")))
       val rwObj = bc(rewrite.select(col("old_guid").as("o_old"), col("new_guid").as("o_new")))
       val edgeCols = Seq("subj_type", "subj_guid", "pred", "obj_kind", "obj_type",
         "obj_guid", "obj_string", "obj_int64", "obj_float64")
-      val affectedEdges = edges
-        .join(rwSubj, col("subj_guid") === col("s_old"), "left")
-        .join(rwObj, col("obj_guid") === col("o_old"), "left")
-        .filter(col("s_new").isNotNull || col("o_new").isNotNull)
-        .localCheckpoint(eager = true) // feeds the upsert AND the tombstone
-      val edgeUpserts = affectedEdges.select(
-        col("subj_type"),
-        coalesce(col("s_new"), col("subj_guid")).as("subj_guid"),
-        col("pred"), col("obj_kind"), col("obj_type"),
-        coalesce(col("o_new"), col("obj_guid")).as("obj_guid"),
-        col("obj_string"), col("obj_int64"), col("obj_float64"))
-      Materialize.appendRewrite(spark, s"$outDir/edges", edgeUpserts,
-        affectedEdges.select(edgeCols.map(col): _*), Materialize.edgeKey)
-
-      val affectedNodes = nodes
-        .join(bc(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
-          col("guid") === col("old_guid"))
-        .localCheckpoint(eager = true)
-      val nodeUpserts = affectedNodes.select(col("new_guid").as("guid"),
-        col("entity_type"), col("new_name").as("name"))
-      Materialize.appendRewrite(spark, s"$outDir/nodes", nodeUpserts,
-        affectedNodes.select(col("guid"), col("entity_type")),
-        Seq("guid", "entity_type"))
-      affectedEdges.unpersist()
-      affectedNodes.unpersist()
+      var affectedEdges: DataFrame = null
+      var affectedNodes: DataFrame = null
+      Materialize.awaitBoth(
+        () => {
+          affectedEdges = edges
+            .join(rwSubj, col("subj_guid") === col("s_old"), "left")
+            .join(rwObj, col("obj_guid") === col("o_old"), "left")
+            .filter(col("s_new").isNotNull || col("o_new").isNotNull)
+            .localCheckpoint(eager = true) // feeds the upsert AND the tombstone
+          val edgeUpserts = affectedEdges.select(
+            col("subj_type"),
+            coalesce(col("s_new"), col("subj_guid")).as("subj_guid"),
+            col("pred"), col("obj_kind"), col("obj_type"),
+            coalesce(col("o_new"), col("obj_guid")).as("obj_guid"),
+            col("obj_string"), col("obj_int64"), col("obj_float64"))
+          Materialize.appendRewrite(spark, s"$outDir/edges", edgeUpserts,
+            affectedEdges.select(edgeCols.map(col): _*), Materialize.edgeKey)
+        },
+        () => {
+          affectedNodes = nodes
+            .join(bc(rewrite.select(col("old_guid"), col("new_guid"), col("new_name"))),
+              col("guid") === col("old_guid"))
+            .localCheckpoint(eager = true)
+          val nodeUpserts = affectedNodes.select(col("new_guid").as("guid"),
+            col("entity_type"), col("new_name").as("name"))
+          Materialize.appendRewrite(spark, s"$outDir/nodes", nodeUpserts,
+            affectedNodes.select(col("guid"), col("entity_type")),
+            Seq("guid", "entity_type"))
+        })
+      if (affectedEdges != null) affectedEdges.unpersist()
+      if (affectedNodes != null) affectedNodes.unpersist()
       // merged-away names leave the node table; they must leave the
       // signature index too (a stale signature row would keep discovering
       // pairs against a dead key, resurrecting it as a same-as edge)

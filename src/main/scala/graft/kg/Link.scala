@@ -177,6 +177,36 @@ object Link {
       delta: Boolean): (DataFrame, () => Unit) =
     sameAsImpl(if (delta) keys else keys.withColumn("is_new", lit(true)), cfg, delta)
 
+  /** Exact-Jaccard verification of a candidate pair frame
+    * `(entity_type, key_a, key_b)`: per-KEY sorted shingle arrays joined to
+    * both sides, merge-scan intersection per pair
+    * ([[graft.ops.Dedup.jaccardSortedKernel]] — the identical integer
+    * counts and IEEE division as [[jaccard]], so the kept pair set is
+    * byte-identical). The r5 form re-shingled both strings per PAIR
+    * (2 set builds + 2 murmur passes each); at kg_resolve's measured 776k
+    * candidates for 3.7k keys that was ~8 s of verify CPU — shingling now
+    * runs once per key per side. Candidates are also re-spread before the
+    * kernel join (the [[graft.ops.Dedup.spreadForVerify]] rationale: AQE
+    * coalesces the id-only candidate checkpoint to ~1 task, serializing
+    * the verify). */
+  private def verifySameAs(eligible: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val sortedSh = udf((s: String) => shingles(s).toSeq.sorted)
+    val vUdf = udf((a: Seq[String], b: Seq[String]) =>
+      graft.ops.Dedup.jaccardSortedKernel(a, b))
+    val ta = eligible.select(col("entity_type"), col("dict_key").as("key_a"),
+      sortedSh(col("dict_key")).as("toks_a"))
+    val tb = eligible.select(col("entity_type"), col("dict_key").as("key_b"),
+      sortedSh(col("dict_key")).as("toks_b"))
+    candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism * 2,
+        col("key_a"), col("key_b"))
+      .join(ta, Seq("entity_type", "key_a"))
+      .join(tb, Seq("entity_type", "key_b"))
+      .filter(vUdf(col("toks_a"), col("toks_b")) >= threshold)
+      .select(col("entity_type"), col("key_a"), col("key_b"))
+  }
+
   private def sameAsImpl(keys: DataFrame, cfg: Config,
       delta: Boolean): (DataFrame, () => Unit) = {
     val spark = keys.sparkSession
@@ -194,10 +224,9 @@ object Link {
         shUdf($"dict_key").as("toks"), $"is_new")
       val cand = graft.ops.SimJoin.candidatePairs(items, cfg.jaccardThreshold,
         if (delta) "link.exact.delta" else "link.exact", delta = delta)
-      val verify = udf((x: String, y: String) => jaccard(x, y))
-      return (cand
-        .select($"grp".as("entity_type"), $"id_a".as("key_a"), $"id_b".as("key_b"))
-        .filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold),
+      return (verifySameAs(eligible,
+        cand.select($"grp".as("entity_type"), $"id_a".as("key_a"),
+          $"id_b".as("key_b")), cfg.jaccardThreshold),
         () => { cand.unpersist(); () })
     }
 
@@ -238,8 +267,7 @@ object Link {
          .unionByName(bandJoin(capped.filter(!$"is_new"), capped.filter($"is_new"))))
       .distinct()
 
-    val verify = udf((x: String, y: String) => jaccard(x, y))
-    (candidates.filter(verify($"key_a", $"key_b") >= cfg.jaccardThreshold),
+    (verifySameAs(eligible, candidates, cfg.jaccardThreshold),
       () => { capped.unpersist(); () })
   }
 

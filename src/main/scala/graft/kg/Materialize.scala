@@ -393,13 +393,17 @@ object Materialize {
     Files.createDirectories(Paths.get(table))
     writeKey(table, key)
     // tomb reserved BEFORE delta: monotonic reservation keeps tomb id <
-    // delta id, preserving the insert-wins resolution for keys in both
+    // delta id, preserving the insert-wins resolution for keys in both.
+    // The ids only need the RESERVATION ordered — the two data writes are
+    // independent files invisible until the manifest flip, so they run as
+    // concurrent Spark jobs (both awaited even on failure — awaitBoth)
     val tombDir = reserveDir(table, "tomb")
-    deleteKeys.select(key.map(col): _*).dropDuplicates(key)
-      .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, tombDir).toString)
     val deltaDir = reserveDir(table, "delta")
-    upserts.dropDuplicates(key)
-      .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString)
+    awaitBoth(
+      () => deleteKeys.select(key.map(col): _*).dropDuplicates(key)
+        .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, tombDir).toString),
+      () => upserts.dropDuplicates(key)
+        .write.mode(SaveMode.Overwrite).parquet(Paths.get(table, deltaDir).toString))
     val shouldCompact = withTableLock(table) {
       val m = currentManifest(table).getOrElse(Manifest(None, Nil))
       flip(table, Manifest(m.base, m.deltas :+ deltaDir, m.tombs :+ tombDir))

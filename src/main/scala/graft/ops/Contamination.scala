@@ -64,6 +64,23 @@ object Contamination {
   def flagContaminatedManaged(train: DataFrame, benchmark: DataFrame,
       shingleN: Int = 6, idCol: String = "doc_id", textCol: String = "text",
       maxBroadcastRows: Long = 50000000L): Dedup.ManagedPairs = {
+    val m = hitCountsManaged(train, benchmark, shingleN, idCol, textCol,
+      maxBroadcastRows)
+    val out = train.select(col(idCol))
+      .join(m.pairs, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+    Dedup.ManagedPairs(out, m.free)
+  }
+
+  /** The SPARSE form of [[flagContaminatedManaged]]: one row per train doc
+    * with `n_hits > 0` — no join back to the full train id set, so a caller
+    * already holding a per-doc frame ([[Curate.curate]]'s single-scan signal
+    * assembly) left-joins this small frame instead of paying a second
+    * corpus scan + corpus-sized join. */
+  def hitCountsManaged(train: DataFrame, benchmark: DataFrame,
+      shingleN: Int = 6, idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastRows: Long = 50000000L): Dedup.ManagedPairs = {
     // global distinct benchmark hash set, measured once (8-byte rows: the
     // row count IS the size estimate, no second bytes pass needed)
     val benchSet = shingleHashes(benchmark, idCol, textCol, shingleN)
@@ -78,10 +95,6 @@ object Contamination {
     val hits = trainSh.join(probe, Seq("shingle_h"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
-    val out = train.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_hits"))
-      .withColumn("contaminated", col("n_hits") > 0)
-    Dedup.ManagedPairs(out, () => { benchSet.unpersist(); () })
+    Dedup.ManagedPairs(hits, () => { benchSet.unpersist(); () })
   }
 }

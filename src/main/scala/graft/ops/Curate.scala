@@ -60,42 +60,97 @@ object Curate {
 
   def curate(docs: DataFrame, benchmark: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    // exact-dup keep: min id per identical content — one window over the
-    // hash shuffle (same keep rule as Dedup.exact, without the join back)
+    // ONE corpus scan assembles every map-side signal (the r5 shape joined
+    // five separately-scanned per-doc frames — qual ⋈ rep ⋈ exact ⋈ groups
+    // ⋈ contam, four corpus-sized doc_id shuffles): quality expressions,
+    // the repetition kernel and the content hash are all per-row functions
+    // of `text`, so they ride a single projection; the exact-dup keep is
+    // the one window over that frame's md5 shuffle. Only the two SPARSE
+    // side frames remain joins — near-dup group membership and benchmark
+    // hit counts — both orders of magnitude below corpus size (pair-graph
+    // members / contaminated docs only), so AQE broadcasts them and no
+    // second corpus-scale exchange exists in the assembled plan.
+    val toks = TextStats.tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double")
+    val repK = udf((text: String) => {
+      val ts = (if (text == null) "" else text)
+        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = ts.length
+      val dupW = if (n == 0) 0.0 else (n - ts.distinct.length).toDouble / n
+      var topBg = 0.0
+      if (n >= 2) {
+        val m = scala.collection.mutable.HashMap.empty[String, Int]
+        var best = 0
+        var i = 0
+        while (i < n - 1) {
+          val g = ts(i) + " " + ts(i + 1)
+          val c = m.getOrElse(g, 0) + 1
+          m(g) = c
+          if (c > best) best = c
+          i += 1
+        }
+        topBg = best.toDouble / (n - 1)
+      }
+      var dupTg = 0.0
+      if (n >= 3) {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var dup = 0
+        var i = 0
+        while (i < n - 2) {
+          if (!seen.add(ts(i) + " " + ts(i + 1) + " " + ts(i + 2))) dup += 1
+          i += 1
+        }
+        dupTg = dup.toDouble / (n - 2)
+      }
+      (dupW, topBg, dupTg)
+    })
     val exW = Window.partitionBy(col("__md5"))
-    val exact = docs
-      .select(col("doc_id"), md5(col("text")).as("__md5"))
+    val sig = docs
+      .select(col("doc_id"), md5(col("text")).as("__md5"),
+        nToks.cast("long").as("n_tokens"),
+        (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+        (size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0)))
+          .as("distinct_ratio"),
+        repK(col("text")).as("__rep"))
       .withColumn("keep_exact", col("doc_id") === min(col("doc_id")).over(exW))
-      .select(col("doc_id"), col("keep_exact"))
 
-    // near-dup groups (docs absent from any pair are their own reps)
-    val groups = Dedup.dedupGroups(Dedup.ngramJaccardPairs(docs,
-      cfg.neardupShingleN, cfg.minJaccard))
-
-    val contam = Contamination.flagContaminated(docs, benchmark,
-      cfg.contamShingleN)
-
-    val qual = TextStats.quality(docs)
-      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
-        col("distinct_ratio"))
-    val rep = TextStats.repetitionStats(docs)
-      .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"),
-        col("dup_trigram_frac"))
+    // the two SPARSE side frames are independent sub-DAGs, each ending in
+    // an eager materialization (the PPJoin seal / the hit-count
+    // checkpoint): build them as CONCURRENT driver-submitted jobs so one
+    // pipeline's straggler tail back-fills with the other's tasks instead
+    // of serializing ~6 small jobs end to end (the Incremental bucket
+    // overlap pattern; both futures are awaited even on failure)
+    var groups: DataFrame = null
+    var hits: DataFrame = null
+    graft.kg.Materialize.awaitBoth(
+      () => {
+        // near-dup groups (docs absent from any pair are their own reps)
+        groups = Dedup.dedupGroups(Dedup.ngramJaccardPairs(docs,
+          cfg.neardupShingleN, cfg.minJaccard))
+      },
+      () => {
+        // sparse benchmark hit counts (only docs with hits carry a row)
+        val contam = Contamination.hitCountsManaged(docs, benchmark,
+          cfg.contamShingleN)
+        hits = contam.pairs.localCheckpoint(eager = true)
+        contam.free()
+      })
 
     val keepNeardup = col("group_rep").isNull || col("group_rep") === col("doc_id")
-    val cleanContam = col("n_hits") === 0L
+    val cleanContam = coalesce(col("n_hits"), lit(0L)) === 0L
     val passQuality = col("n_tokens") >= cfg.minTokens &&
       col("punct_ratio") <= cfg.maxPunctRatio &&
       col("distinct_ratio") >= cfg.minDistinctRatio
-    val passRepetition = col("dup_word_frac") <= cfg.maxDupWordFrac &&
-      col("top_bigram_frac") <= cfg.maxTopBigramFrac &&
-      col("dup_trigram_frac") <= cfg.maxDupTrigramFrac
+    val passRepetition = col("__rep._1") <= cfg.maxDupWordFrac &&
+      col("__rep._2") <= cfg.maxTopBigramFrac &&
+      col("__rep._3") <= cfg.maxDupTrigramFrac
 
-    qual
-      .join(rep, Seq("doc_id"))
-      .join(exact, Seq("doc_id"))
+    sig
       .join(groups, Seq("doc_id"), "left")
-      .join(contam.select(col("doc_id"), col("n_hits")), Seq("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("keep_exact"),
         keepNeardup.as("keep_neardup"),
         cleanContam.as("clean_contam"),

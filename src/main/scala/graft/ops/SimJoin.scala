@@ -85,22 +85,22 @@ object SimJoin {
     val toks = items
       .select(col("grp"), col("id"), size(col("toks")).cast("long").as("sz"),
         newCol.as("is_new"), explode(col("toks")).as("tok"))
-      .localCheckpoint(eager = true) // feeds df-count AND the rank join-back
 
-    val dfreq = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("df"))
+    // document frequency as a count-over-window sharing the (grp, tok)
+    // shuffle — the r5 groupBy+join-back formulation paid a second shuffle
+    // of the whole exploded-token frame plus an extra eager checkpoint (the
+    // token frame fed two consumers); one chain → one pass, no checkpoint
+    val byTok = Window.partitionBy(col("grp"), col("tok"))
     val byRarity = Window.partitionBy(col("grp"), col("id"))
       .orderBy(col("df").asc, col("tok").asc)
     // rank over ALL tokens (ranks are the shared global order), THEN drop
     // the df=1 tail — a dropped rank can never be the shared prefix token
-    val ranked = toks.join(dfreq, Seq("grp", "tok"))
+    val ranked = toks
+      .withColumn("df", count(lit(1)).over(byTok))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("df") >= 2)
       .select(col("grp"), col("tok"), col("id"), col("sz"), col("rn"), col("is_new"))
       .localCheckpoint(eager = true) // feeds both self-join sides
-    // ranked is materialized — the exploded-token frame is no longer
-    // reachable; free it NOW so repeated calls (bench reps, per-batch
-    // resolver use) don't accumulate corpus-sized block-manager state
-    toks.unpersist()
 
     val probeLen = col("sz") - ceil(col("sz") * t - 1e-9) + 1
     val indexLen = col("sz") - ceil(col("sz") * (2.0 * t / (1.0 + t)) - 1e-9) + 1
@@ -126,12 +126,19 @@ object SimJoin {
       else index.filter(col("new_a")).join(probe, Seq("grp", "tok"))
         .unionByName(index.filter(!col("new_a"))
           .join(probe.filter(col("new_b")), Seq("grp", "tok")))
+    val alpha = (col("sz_a") + col("sz_b")) * (t / (1.0 + t))
     val matched = joined
       .filter(sizeOrder && lengthFilter)
       .withColumn("ub",
         lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")))
+      // positional filter applied PER ROW before the pair aggregation: the
+      // surviving pair set is identical (a pair passes iff SOME matched row
+      // has ub >= alpha — exactly what max(ub) >= alpha tests, and alpha is
+      // a per-row function of (sz_a, sz_b)), but rows that cannot carry the
+      // max bound never enter the aggregation hash table — the matched-row
+      // frame is the largest intermediate of the whole join
+      .filter(col("ub").cast("double") + 1e-9 >= alpha)
 
-    val alpha = (col("sz_a") + col("sz_b")) * (t / (1.0 + t))
     val pairs = matched
       .groupBy(col("grp"), col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(max(col("ub")).as("max_ub"))

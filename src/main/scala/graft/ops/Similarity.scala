@@ -622,10 +622,22 @@ object Similarity {
       // (AQE coalesces the small output; see Dedup.spreadForVerify)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
         col("vec_a"), col("vec_b"))
-    val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    // per-vector norms computed ONCE per side (2 rows per vector) instead
+    // of per pair: cos = dot(a,b)/(na*nb) with na = sqrt(dot(a,a)) is the
+    // IDENTICAL IEEE expression tree as cosineKernel (same dot loop, same
+    // sqrt, same multiply/divide order), at a third of the verify flops —
+    // the verify kernel runs once per CANDIDATE (near-exhaustive fixture
+    // config: ~N^2/2 pairs), the norm once per vector
+    val normUdf = udf((v: Seq[Float]) => math.sqrt(dotKernel(v, v)))
+    val cosPre = udf((a: Seq[Float], b: Seq[Float], na: Double, nb: Double) =>
+      dotKernel(a, b) / (na * nb))
+    val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      normUdf(col("embedding")).as("n_a"))
+    val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      normUdf(col("embedding")).as("n_b"))
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("e_a"), col("e_b")).as("cos"))
+      .select(col("vec_a"), col("vec_b"),
+        cosPre(col("e_a"), col("e_b"), col("n_a"), col("n_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

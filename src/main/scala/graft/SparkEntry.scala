@@ -69,19 +69,43 @@ object SparkEntry {
         // corpus links via normalization only. The fuzzy path is exercised
         // by the synthetic corpus in sbt tests and by kg_resolve.
         val r = Pipeline.run(turns, Pipeline.emptyDict(spark), Link.Config(fuzzy = false))
-        // mention projection off the pipeline's OWN raw frame — derived here,
-        // before close(), so kg_mentions costs a projection, not a second
-        // full extraction pass over the corpus
-        val mentions = r.raw.get.filter(col("subj_type") === "Person")
-          .groupBy(col("conv_id"))
-          .agg(countDistinct(Link.normKey(col("subj_tuid"))).as("n_persons"))
-          .localCheckpoint(eager = true)
-        val out = Kg(r.edges.localCheckpoint(eager = true),
-          r.nodes.localCheckpoint(eager = true), r.registry, mentions)
+        // The three result materializations are independent consumers of the
+        // pipeline's shared internal caches (raw persist + registry
+        // checkpoint, both already materialized by Pipeline.run): submit
+        // them as CONCURRENT jobs — serial they cost edges(label+dedup) +
+        // nodes + mentions end-to-end; overlapped, the edges job's tail
+        // back-fills with the other two (guide §2.6 shape).
+        var edgesCp: DataFrame = null
+        var nodesCp: DataFrame = null
+        var mentionsCp: DataFrame = null
+        awaitAll(
+          () => edgesCp = r.edges.localCheckpoint(eager = true),
+          () => nodesCp = r.nodes.localCheckpoint(eager = true),
+          () => mentionsCp =
+            // mention projection off the pipeline's OWN raw frame — derived
+            // here, before close(), so kg_mentions costs a projection, not a
+            // second full extraction pass over the corpus
+            r.raw.get.filter(col("subj_type") === "Person")
+              .groupBy(col("conv_id"))
+              .agg(countDistinct(Link.normKey(col("subj_tuid"))).as("n_persons"))
+              .localCheckpoint(eager = true))
+        val out = Kg(edgesCp, nodesCp, r.registry, mentionsCp)
         r.close(keepRegistry = true) // edges/nodes/mentions re-checkpointed above
         out
       })
     }
+
+  /** Run independent materialization thunks as concurrent driver-submitted
+    * Spark jobs; awaits ALL before propagating the first failure (the
+    * [[graft.kg.Materialize.awaitBoth]] contract, n-ary). */
+  private def awaitAll(thunks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = thunks.map(t => Future(t()))
+    val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    rs.foreach(_.get)
+  }
 
   /** Flagship: full KG pipeline on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -63,32 +63,38 @@ object Extract {
     var person: Option[String] = None
     val txt = if (text == null) "" else text
 
-    txt match {
+    // Cheap NECESSARY-condition guards in front of each anchored regex: a
+    // guard is a literal the pattern requires (a `^`-anchored prefix or an
+    // interior literal), so it can never change which rules fire — it only
+    // skips the regex engine for the ~8 of 9 rules a turn cannot match.
+    // Measured: the 9-attempts-per-turn extraction kernel is the hottest
+    // per-row work of the pipeline's fused S2+S3 stage.
+    if (txt.startsWith("My name is ")) txt match {
       case rName(n) =>
         person = Some(n.trim)
         out += t(conv_id, turn_idx, "Person", n, "name")(ObjKind.String, os = Some(n.trim))
       case _ => ()
     }
-    txt match {
+    if (txt.contains(" lives in ")) txt match {
       case rLives(n, place) =>
         person = Some(n.trim)
         out += t(conv_id, turn_idx, "Person", n, "lives_in")(
           ObjKind.Subject, ot = Some("Nation"), otu = Some(place))
       case _ => ()
     }
-    txt match {
+    if (txt.startsWith("Order ")) txt match {
       case rTotal(ord, amt) =>
         Try(amt.toDouble).toOption.foreach { d =>
           out += t(conv_id, turn_idx, "Order", ord, "total")(ObjKind.Float64, od = Some(d))
         }
       case _ => ()
     }
-    if (role == "tool") txt match {
+    if (role == "tool" && txt.startsWith("lookup returned ")) txt match {
       case rLookup(prio, ord) =>
         out += t(conv_id, turn_idx, "Order", ord, "priority")(ObjKind.String, os = Some(prio.trim))
       case _ => ()
     }
-    txt match {
+    if (txt.contains(" years old")) txt match {
       case rAge(n, age) =>
         Try(age.toLong).toOption.foreach { a =>
           person = Some(n.trim)
@@ -96,7 +102,7 @@ object Extract {
         }
       case _ => ()
     }
-    txt match {
+    if (txt.startsWith("They ordered ")) txt match {
       case rPronounItems(cnt) =>
         Try(cnt.toLong).toOption.foreach { c =>
           out += t(conv_id, turn_idx, "Person", PronounTuid, "ordered_items")(
@@ -104,21 +110,21 @@ object Extract {
         }
       case _ => ()
     }
-    txt match {
+    if (txt.contains(" works at ")) txt match {
       case rWorks(n, org) if !n.endsWith(" lives") =>
         person = Some(n.trim)
         out += t(conv_id, turn_idx, "Person", n, "works_at")(
           ObjKind.Subject, ot = Some("Org"), otu = Some(org))
       case _ => ()
     }
-    txt match {
+    if (txt.contains(" degrees")) txt match {
       case rTemp(city, deg) if !txt.contains("years old") =>
         Try(deg.toDouble).toOption.foreach { d =>
           out += t(conv_id, turn_idx, "City", city, "temperature")(ObjKind.Float64, od = Some(d))
         }
       case _ => ()
     }
-    if (role == "tool") txt match {
+    if (role == "tool" && txt.contains(" returned value ")) txt match {
       case rToolVal(toolName, v, n) =>
         out += t(conv_id, turn_idx, "Person", n, s"tool_$toolName")(
           ObjKind.String, os = Some(v))

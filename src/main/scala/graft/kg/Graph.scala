@@ -25,12 +25,85 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Row+byte gate for the driver fast paths below (the
+    * [[Canonicalize.connectedComponents]] adaptive posture): one agg pass
+    * over the checkpointed distinct-edge frame measures rows AND raw string
+    * bytes; at or below both limits the iteration runs on the driver —
+    * per-iteration DataFrame-loop scheduling overhead dwarfs the work for
+    * small graphs (each distributed iteration is a join + agg + checkpoint
+    * job; 10 iterations ≈ 2-3 s of pure orchestration at any size) — above
+    * them the distributed loop is authoritative. */
+  private def fitsDriver(e: DataFrame, driverThreshold: Long,
+      maxDriverStringBytes: Long): Boolean = {
+    val r = e.agg(count(lit(1)),
+      sum(length(col("src")) + length(col("dst")))).head()
+    r.getLong(0) <= driverThreshold &&
+      (r.isNullAt(1) || r.getLong(1) <= maxDriverStringBytes)
+  }
+
+  /** Driver-side power method over a collected edge list — the identical
+    * update rule in IEEE double arithmetic; contribution sums run in sorted
+    * (src, dst) edge order (deterministic across runs; the distributed
+    * groupBy's partial-agg order is partition-dependent, and every consumer
+    * of ranks publishes/compares at f32 where the ~1e-15 summation-order
+    * difference is far below one ulp). */
+  private def pageRankDriver(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[(String, String)], iters: Int, damping: Double,
+      danglingRedistribution: Boolean, tol: Double): DataFrame = {
+    val edgesSorted = edgeRows.sortBy(identity)
+    val nodes = edgesSorted.iterator.flatMap(p => Iterator(p._1, p._2))
+      .toArray.distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val outdeg = new Array[Long](n)
+    val es = edgesSorted.map { case (s, d) => (idx(s), idx(d)) }
+    es.foreach { case (s, _) => outdeg(s) += 1 }
+    var ranks = Array.fill(n)(1.0 / n)
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
+      val dangling =
+        if (!danglingRedistribution) 0.0
+        else {
+          var s = 0.0; var i = 0
+          while (i < n) { if (outdeg(i) == 0L) s += ranks(i); i += 1 }
+          s
+        }
+      val next = Array.fill(n)((1.0 - damping) / n + damping * dangling / n)
+      es.foreach { case (s, d) => next(d) += damping * (ranks(s) / outdeg(s)) }
+      if (tol > 0.0) {
+        var delta = 0.0; var i = 0
+        while (i < n) { delta += math.abs(next(i) - ranks(i)); i += 1 }
+        converged = delta < tol
+      }
+      ranks = next
+      iter += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    var i = 0
+    while (i < n) { rows.add(org.apache.spark.sql.Row(nodes(i), ranks(i))); i += 1 }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** Distinct-edge PageRank. `edges` needs (src, dst) columns; multi-edges
     * collapse. Returns (node, rank). */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-      danglingRedistribution: Boolean = false, tol: Double = 0.0): DataFrame = {
+      danglingRedistribution: Boolean = false, tol: Double = 0.0,
+      driverThreshold: Long = 2000000L,
+      maxDriverStringBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = true)
+    if (fitsDriver(e, driverThreshold, maxDriverStringBytes)) {
+      val spark = edges.sparkSession
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist()
+      return pageRankDriver(spark, rows, iters, damping,
+        danglingRedistribution, tol)
+    }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -84,9 +157,43 @@ object Graph {
     * This is the general traversal the 2-hop query specializes: ego
     * networks, reachability cones, provenance closures over the KG's
     * (subj_guid, obj_guid) edges. */
-  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int,
+      driverThreshold: Long = 2000000L,
+      maxDriverStringBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(eager = true)
+    if (fitsDriver(e, driverThreshold, maxDriverStringBytes)) {
+      // driver BFS over the collected adjacency — pure integer hop counts,
+      // bit-identical to the distributed loop by construction; per-hop the
+      // distributed form costs join + anti-join + two checkpoints of pure
+      // scheduling at small frontier sizes
+      val spark = edges.sparkSession
+      val adj = e.collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).map { case (s, ps) => (s, ps.map(_._2)) }
+      e.unpersist()
+      val seedNodes = seeds.select(col("node")).distinct().collect()
+        .map(_.getString(0))
+      val dist = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      seedNodes.foreach(s => dist(s) = 0)
+      var frontier: Seq[String] = seedNodes.toSeq
+      var hop = 0
+      while (hop < k && frontier.nonEmpty) {
+        hop += 1
+        frontier = frontier.flatMap(s => adj.getOrElse(s, Array.empty[String]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = hop)
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      dist.foreach { case (node, h) =>
+        rows.add(org.apache.spark.sql.Row(node, h))
+      }
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("min_hops",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    }
     var visited = seeds.select(col("node")).distinct()
       .withColumn("min_hops", lit(0)).localCheckpoint(eager = true)
     var frontier = visited.select(col("node"))

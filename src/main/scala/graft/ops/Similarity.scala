@@ -248,7 +248,8 @@ object Similarity {
     * skips the quantizer (asserted in tests; cheap, process-wide). */
   private[ops] val kmeansRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def kmeansCentroids(corpus: DataFrame, cfg: IvfConfig): Array[Array[Double]] = {
+  def kmeansCentroids(corpus: DataFrame, cfg: IvfConfig,
+      maxDriverVecFloats: Long = 32L * 1024 * 1024): Array[Array[Double]] = {
     kmeansRuns.incrementAndGet()
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -257,6 +258,29 @@ object Similarity {
     val vecs = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .localCheckpoint(eager = true)
+
+    // Driver fast path, gated on measured float count (~128 MB at the
+    // default): Lloyd's per-iteration cost here is one tiny mapPartitions
+    // job + a collect — at small corpus sizes that is kmeansIters jobs of
+    // pure scheduling. The driver loop REPLICATES the distributed
+    // arithmetic bit-for-bit (per-PARTITION accumulation in row order,
+    // partials combined per cluster in partition order — the identical
+    // IEEE sum tree), so centroids — and therefore every assignment,
+    // SemDeDup blocking decision and persisted index — are byte-identical
+    // to the distributed path on the same corpus.
+    val nFloats = {
+      val r = vecs.toDF("vec_id", "embedding")
+        .agg(sum(size(col("embedding")))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (nFloats <= maxDriverVecFloats) {
+      val byPart = vecs.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { case (id, v) => (pid, id, v) }
+      }.collect()
+      vecs.unpersist()
+      return kmeansCentroidsDriver(byPart, cfg)
+    }
     var centroids: Array[Array[Double]] = vecs
       .orderBy(col("vec_id")).limit(cfg.nLists)
       .collect().map(_._2.map(_.toDouble).toArray)
@@ -298,6 +322,57 @@ object Similarity {
       bc.destroy()
     }
     vecs.unpersist()
+    centroids
+  }
+
+  /** Driver-side Lloyd over partition-tagged rows, mirroring the
+    * distributed update EXACTLY: initial centroids are the `nLists`
+    * smallest ids; each iteration accumulates (sum, count) per cluster
+    * WITHIN each partition in row order, then combines partials per
+    * cluster in partition order — the same IEEE addition tree as the
+    * mapPartitions + collect path, so the returned centroids are
+    * bit-identical (asserted in OpsSpec's indexed-vs-fresh equality). */
+  private def kmeansCentroidsDriver(byPart: Array[(Int, Long, Seq[Float])],
+      cfg: IvfConfig): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = byPart.sortBy(_._2).take(cfg.nLists)
+      .map(_._3.map(_.toDouble).toArray)
+    // stable partition slices in partition order (collect() already yields
+    // partition order; groupBy would scramble it)
+    val pids = byPart.map(_._1).distinct.sorted
+    for (_ <- 1 to cfg.kmeansIters) {
+      val cs = centroids
+      val dim = if (cs.nonEmpty) cs(0).length else 0
+      // partials in (partition, cluster) order — exactly the distributed
+      // collect order
+      val partials = pids.flatMap { pid =>
+        val sums = Array.ofDim[Double](cs.length, dim)
+        val counts = new Array[Long](cs.length)
+        byPart.foreach { case (p, _, v) =>
+          if (p == pid) {
+            val cl = nearestCentroid(v, cs)
+            counts(cl) += 1
+            var d = 0
+            val n = math.min(dim, v.length)
+            while (d < n) { sums(cl)(d) += v(d); d += 1 }
+          }
+        }
+        Iterator.tabulate(cs.length)(c => (c, counts(c), sums(c).toSeq))
+      }
+      val next = centroids.map(_.clone())
+      partials.groupBy(_._1).foreach { case (cl, rows) =>
+        val cnt = rows.map(_._2).sum
+        if (cnt > 0) {
+          val dimL = centroids(cl).length
+          val s = new Array[Double](dimL)
+          rows.foreach { case (_, _, ps) =>
+            var d = 0
+            while (d < dimL) { s(d) += ps(d); d += 1 }
+          }
+          next(cl) = s.map(_ / cnt)
+        }
+      }
+      centroids = next
+    }
     centroids
   }
 

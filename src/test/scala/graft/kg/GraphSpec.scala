@@ -77,6 +77,44 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks.forall(r => r > 0.0 && r < 1.0))
   }
 
+  test("pageRank driver fast path == forced distributed loop (both mirror-exact)") {
+    import spark.implicits._
+    // mixed shape: cycle + sinks + a chain, with dangling redistribution on
+    // one run and off on the other — driverThreshold = 0 forces the
+    // distributed iteration, the default takes the driver loop; both must
+    // agree with each other and the in-memory mirror
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d",
+      "d" -> "e", "f" -> "a")
+    for (dangling <- Seq(false, true)) {
+      val drv = Graph.pageRank(edges.toDF("src", "dst"), iters = 8,
+          danglingRedistribution = dangling)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val dist = Graph.pageRank(edges.toDF("src", "dst"), iters = 8,
+          danglingRedistribution = dangling, driverThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = mirror(edges, 8, 0.85, dangling = dangling)
+      assert(drv.keySet == dist.keySet && drv.keySet == want.keySet)
+      drv.foreach { case (k, v) =>
+        assert(math.abs(v - dist(k)) < 1e-12, s"driver vs distributed $k")
+        assert(math.abs(v - want(k)) < 1e-12, s"driver vs mirror $k")
+      }
+    }
+  }
+
+  test("kHop driver fast path == forced distributed BFS, exactly") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "e", "b" -> "a", "x" -> "y").toDF("src", "dst")
+    for (k <- Seq(1, 2, 3, 9)) {
+      val drv = Graph.kHop(edges, Seq("a").toDF("node"), k).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val dist = Graph.kHop(edges, Seq("a").toDF("node"), k,
+          driverThreshold = 0L).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(drv == dist, s"k=$k")
+    }
+  }
+
   test("kHop: min-hop distances, unreachable excluded, early frontier drain") {
     import spark.implicits._
     // diamond a->b, a->c, b->d, c->d (d at 2 via both paths), chain d->e,

@@ -398,6 +398,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("kmeansCentroids driver fast path is BIT-identical to the distributed loop") {
+    // maxDriverVecFloats = 0 forces the distributed Lloyd iteration; the
+    // default takes the driver loop, which replicates the per-partition
+    // accumulation order — centroids must match to the last bit (SemDeDup
+    // blocking and persisted-index assignments both hang off them)
+    val cfg = Similarity.IvfConfig(nLists = 5, kmeansIters = 4, nProbe = 5)
+    val drv = Similarity.kmeansCentroids(corpus, cfg)
+    val dist = Similarity.kmeansCentroids(corpus, cfg, maxDriverVecFloats = 0L)
+    assert(drv.length == dist.length)
+    drv.zip(dist).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroid mismatch between driver and distributed Lloyd")
+    }
+  }
+
   test("IVF: exhaustive probe equals brute force; partial probe keeps high recall") {
     val k = 5
     val bf = Similarity.bruteForceTopK(corpus, queries, k).collect()

@@ -71,20 +71,33 @@ object Perplexity {
     val tb = target.select(explode(bk(col("text"))).as("b"))
       .select(col("b._1").as("h1"), col("b._2").as("h12"))
       .localCheckpoint(eager = true) // two consumers: unigram + bigram counts
-    val uni = tb.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-      .localCheckpoint(eager = true)
-    val big = tb.groupBy(col("h12")).agg(count(lit(1)).as("c2"))
-      .localCheckpoint(eager = true)
-    tb.unpersist()
     // V = distinct target unigrams. uni counts HISTORY tokens only (the
     // last token of the corpus never opens a bigram) — count the real
     // vocabulary from a dedicated distinct pass so P is the textbook model.
     val tokK = udf((text: String) => (if (text == null) "" else text)
       .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
       .map(t => TextHashKernels.fingerprint64(UTF8String.fromString(t))))
-    val v = target.select(explode(tokK(col("text"))).as("h"))
-      .agg(countDistinct(col("h"))).head().getLong(0)
-    val nUni = uni.count(); val nBig = big.count()
+    // the three count lanes (unigram table, bigram table, vocabulary size)
+    // are independent sub-DAGs off the shared tb checkpoint / target scan:
+    // build them as concurrent jobs instead of five serial driver barriers
+    var uni: DataFrame = null
+    var big: DataFrame = null
+    var nUni = 0L; var nBig = 0L; var v = 0L
+    graft.kg.Materialize.awaitBoth(
+      () => {
+        uni = tb.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+          .localCheckpoint(eager = true)
+        nUni = uni.count()
+      },
+      () => graft.kg.Materialize.awaitBoth(
+        () => {
+          big = tb.groupBy(col("h12")).agg(count(lit(1)).as("c2"))
+            .localCheckpoint(eager = true)
+          nBig = big.count()
+        },
+        () => v = target.select(explode(tokK(col("text"))).as("h"))
+          .agg(countDistinct(col("h"))).head().getLong(0)))
+    tb.unpersist()
     val uniP = if (nUni <= maxBroadcastRows) broadcast(uni) else uni
     val bigP = if (nBig <= maxBroadcastRows) broadcast(big) else big
 

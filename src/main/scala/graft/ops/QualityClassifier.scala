@@ -79,26 +79,40 @@ object QualityClassifier {
     val tk = udf(tokenHashKernel _)
 
     // per-class count tables: collapse map-side to O(vocab) rows each;
-    // 8-byte-keyed (the oracle's raw-string join proves collision freedom)
-    val pos = positive.select(explode(tk(col("text"))).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("c_pos"))
-      .localCheckpoint(eager = true) // consumed by V-union + totals + join
-    val neg = negative.select(explode(tk(col("text"))).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("c_neg"))
-      .localCheckpoint(eager = true)
-    // class totals + shared vocabulary, all from the tiny count tables
-    def total(df: DataFrame, c: String): Long = {
-      val r = df.agg(sum(col(c))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    val nPos = total(pos, "c_pos")
-    val nNeg = total(neg, "c_neg")
+    // 8-byte-keyed (the oracle's raw-string join proves collision freedom).
+    // Each class lane (checkpoint + fused totals/rows agg + doc count) is
+    // independent — two concurrent lanes instead of nine serial driver
+    // barriers; only the shared-vocabulary count needs both tables.
+    var pos: DataFrame = null
+    var neg: DataFrame = null
+    var nPos = 0L; var nNeg = 0L
+    var posRows = 0L; var negRows = 0L
+    var nPosDocs = 0L; var nNegDocs = 0L
+    graft.kg.Materialize.awaitBoth(
+      () => {
+        pos = positive.select(explode(tk(col("text"))).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("c_pos"))
+          .localCheckpoint(eager = true) // consumed by V-union + totals + join
+        val r = pos.agg(sum(col("c_pos")), count(lit(1))).head()
+        nPos = if (r.isNullAt(0)) 0L else r.getLong(0)
+        posRows = r.getLong(1)
+        nPosDocs = positive.count()
+      },
+      () => {
+        neg = negative.select(explode(tk(col("text"))).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("c_neg"))
+          .localCheckpoint(eager = true)
+        val r = neg.agg(sum(col("c_neg")), count(lit(1))).head()
+        nNeg = if (r.isNullAt(0)) 0L else r.getLong(0)
+        negRows = r.getLong(1)
+        nNegDocs = negative.count()
+      })
     val v = pos.select(col("h")).union(neg.select(col("h")))
       .distinct().count()
-    val prior = math.log(math.max(positive.count(), 1L).toDouble) -
-      math.log(math.max(negative.count(), 1L).toDouble)
-    val posP = if (pos.count() <= maxBroadcastRows) broadcast(pos) else pos
-    val negP = if (neg.count() <= maxBroadcastRows) broadcast(neg) else neg
+    val prior = math.log(math.max(nPosDocs, 1L).toDouble) -
+      math.log(math.max(nNegDocs, 1L).toDouble)
+    val posP = if (posRows <= maxBroadcastRows) broadcast(pos) else pos
+    val negP = if (negRows <= maxBroadcastRows) broadcast(neg) else neg
 
     // raw corpus: one token scan, count-table lookups, doc-keyed agg
     val w = log((coalesce(col("c_pos"), lit(0L)).cast("double") + addK) /

@@ -86,6 +86,36 @@ class BpeSpec extends AnyFunSuite {
     assert(got == counts.toMap)
   }
 
+  test("driver merge loop == forced distributed loop on the classic corpus") {
+    // maxDriverVocab = 0 forces the per-merge distributed recount; the
+    // default takes the incremental driver loop — integer counts and the
+    // identical argmax total order make the tables exactly equal
+    val drv = Bpe.learnMerges(docs(corpus: _*), 8)
+    val dist = Bpe.learnMerges(docs(corpus: _*), 8, maxDriverVocab = 0L)
+    assert(drv == dist)
+  }
+
+  test("driver merge loop == reference BPE at realistic merge count (5000)") {
+    // deterministic synthetic vocabulary wide enough to sustain 5000
+    // merges: 2500 distinct 10-char words with skewed frequencies
+    val rnd = new scala.util.Random(7L)
+    val wordsPool = (0 until 2500).map { _ =>
+      (0 until 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val texts = wordsPool.zipWithIndex.map { case (w, i) =>
+      // frequency 1..8, deterministic
+      (i.toLong, Seq.fill(1 + i % 8)(w).mkString(" "))
+    }
+    val n = 5000
+    val t0 = System.nanoTime()
+    val got = Bpe.learnMerges(docs(texts: _*), n).map { case (_, a, b) => (a, b) }
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"learnMerges nMerges=$n over ${wordsPool.size} words: $secs%.1f s")
+    val want = refLearn(texts.map(_._2), n)
+    assert(got == want)
+    assert(got.length == n, s"expected $n merges, got ${got.length}")
+  }
+
   test("applyMerges encodes with the learned table; empty text yields zero tokens") {
     val merges = Bpe.learnMerges(docs(corpus: _*), 6)
     val enc = Bpe.applyMerges(docs((corpus :+ (9L -> "")): _*), merges)

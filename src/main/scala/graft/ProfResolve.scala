@@ -54,14 +54,35 @@ object ProfResolve {
         .filter(col("stage") === "resolve").collect()
       m.foreach(r => println(s"       metric ${r.getString(3)} = ${r.getLong(4)}"))
 
-      // manual decomposition of the discovery phase (full-rediscovery shape)
+      // manual decomposition of the discovery phase (full-rediscovery
+      // shape, PRE-resolve key set — re-derive the unconverged names by
+      // re-running the bucketed pipeline WITHOUT the resolver)
       val cfg2 = Link.Config(fuzzy = true, exactSameAs = true,
         jaccardThreshold = 0.8, fuzzyTypes = Seq("Person"))
-      val nodes2 = Materialize.readTable(spark, s"$out/nodes").get
+      val out2 = java.nio.file.Files.createTempDirectory("prof-resolve2").toString
+      Incremental.run(Transcripts.fromTestdataResolve(spark, sfDir),
+        Pipeline.emptyDict(spark), out2, "resolve-run", nBuckets = 2,
+        linkCfg = Link.Config(fuzzy = false), recordCounts = false)
+      val nodes2 = Materialize.readTable(spark, s"$out2/nodes").get
       val flagged = time("  eligible distinct + checkpoint") {
         nodes2.filter(col("entity_type").isin(cfg2.fuzzyTypes: _*))
           .select(col("entity_type"), col("name").as("dict_key")).distinct()
           .withColumn("is_new", lit(true)).localCheckpoint(eager = true)
+      }
+      println(s"       eligible keys: ${flagged.count()}")
+      // inner stages of buildCandidates, timed one materialization at a time
+      locally {
+        val shU = udf((s: String) => Link.shingles(s).toSeq)
+        val items2 = flagged.select(col("entity_type").as("grp"),
+          col("dict_key").as("id"), shU(col("dict_key")).as("toks"),
+          col("is_new"))
+        val (pairsPlan, ranked) = graft.ops.SimJoin.buildCandidates(
+          items2, cfg2.jaccardThreshold, delta = true)
+        // ranked checkpoint already materialized inside buildCandidates
+        val t0 = System.nanoTime()
+        val nMatched = pairsPlan.count()
+        println(f"       join+agg pairs count: ${(System.nanoTime()-t0)/1e9}%.2f s ($nMatched pairs)")
+        ranked.unpersist()
       }
       val items = flagged.select(col("entity_type").as("grp"),
         col("dict_key").as("id"),

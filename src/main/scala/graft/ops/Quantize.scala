@@ -68,9 +68,10 @@ object Quantize {
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val p = bc.value
-        it.map { case (id, v) =>
-          require(v != null && v.length == p.dim,
+        it.map { case (id, vSeq) =>
+          require(vSeq != null && vSeq.length == p.dim,
             s"Quantize.encode: vec $id null or dim != ${p.dim}")
+          val v = vSeq.toArray // typed-encoder Seq is not guaranteed indexed
           val codes = new Array[Int](p.dim)
           var i = 0
           while (i < p.dim) {
@@ -98,9 +99,10 @@ object Quantize {
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val p = bc.value
-        it.map { case (id, cs) =>
-          require(cs != null && cs.length == p.dim,
+        it.map { case (id, csSeq) =>
+          require(csSeq != null && csSeq.length == p.dim,
             s"Quantize.dequantize: vec $id null or dim != ${p.dim}")
+          val cs = csSeq.toArray // typed-encoder Seq is not guaranteed indexed
           val vs = new Array[Float](p.dim)
           var i = 0
           while (i < p.dim) {

@@ -94,9 +94,13 @@ object SemDedup {
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.flatMap { case (id, v) =>
+        it.flatMap { case (id, vSeq) =>
+          // primitive-array view first: the typed-encoder Seq is not
+          // guaranteed indexed and the centroid scoring touches every
+          // element nLists times (identical arithmetic either way)
+          val v = vSeq.toArray.toSeq
           val cls = Similarity.nearestCentroids(v, cs, nAssign).sorted
-          cls.map(cl => (cl, id, v, cls))
+          cls.map(cl => (cl, id, vSeq, cls))
         }
       }
       .toDF("cluster", "vec_id", "embedding", "clusters")

@@ -259,24 +259,32 @@ object Similarity {
       .as[(Long, Seq[Float])]
       .localCheckpoint(eager = true)
 
-    // Driver fast path, gated on measured float count (~128 MB at the
-    // default): Lloyd's per-iteration cost here is one tiny mapPartitions
-    // job + a collect — at small corpus sizes that is kmeansIters jobs of
-    // pure scheduling. The driver loop REPLICATES the distributed
-    // arithmetic bit-for-bit (per-PARTITION accumulation in row order,
-    // partials combined per cluster in partition order — the identical
-    // IEEE sum tree), so centroids — and therefore every assignment,
-    // SemDeDup blocking decision and persisted index — are byte-identical
-    // to the distributed path on the same corpus.
+    // Driver fast path: Lloyd's per-iteration cost distributed is one tiny
+    // mapPartitions job + a collect — at small corpus sizes that is
+    // kmeansIters jobs of pure scheduling. The driver loop is
+    // SINGLE-THREADED, so the gate is a flops budget (rows × dim × nLists
+    // × iters ≤ ~2e9, well under a second of distance arithmetic), not
+    // just a memory bound — a 20k×64 corpus at nLists=64 is in, a corpus
+    // whose assignment compute would out-cost the saved job overhead is
+    // out. The driver loop REPLICATES the distributed arithmetic
+    // bit-for-bit (per-PARTITION accumulation in row order, partials
+    // combined per cluster in partition order — the identical IEEE sum
+    // tree), so centroids — and therefore every assignment, SemDeDup
+    // blocking decision and persisted index — are byte-identical to the
+    // distributed path on the same corpus.
     val nFloats = {
       val r = vecs.toDF("vec_id", "embedding")
         .agg(sum(size(col("embedding")))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    if (nFloats <= maxDriverVecFloats) {
+    val driverFlops = nFloats * cfg.nLists.toLong * cfg.kmeansIters.toLong
+    if (nFloats <= maxDriverVecFloats && driverFlops <= 2000000000L) {
+      // materialize rows as primitive float arrays ONCE at collect time:
+      // the deserialized Seq[Float] is not guaranteed indexed, and the
+      // driver loop touches every element nLists times per iteration
       val byPart = vecs.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.map { case (id, v) => (pid, id, v) }
+        it.map { case (id, v) => (pid, id, v.toArray) }
       }.collect()
       vecs.unpersist()
       return kmeansCentroidsDriver(byPart, cfg)
@@ -296,8 +304,12 @@ object Similarity {
         val dim = if (cs.nonEmpty) cs(0).length else 0
         val sums = Array.ofDim[Double](cs.length, dim)
         val counts = new Array[Long](cs.length)
-        it.foreach { case (_, v) =>
-          val cl = nearestCentroid(v, cs)
+        it.foreach { case (_, vSeq) =>
+          // primitive-array view first: the typed-encoder Seq is not
+          // guaranteed indexed, and the distance loop touches every
+          // element nLists times (same arithmetic, same order)
+          val v = vSeq.toArray
+          val cl = nearestCentroidArr(v, cs)
           counts(cl) += 1
           var d = 0
           val n = math.min(dim, v.length)
@@ -332,29 +344,28 @@ object Similarity {
     * cluster in partition order — the same IEEE addition tree as the
     * mapPartitions + collect path, so the returned centroids are
     * bit-identical (asserted in OpsSpec's indexed-vs-fresh equality). */
-  private def kmeansCentroidsDriver(byPart: Array[(Int, Long, Seq[Float])],
+  private def kmeansCentroidsDriver(byPart: Array[(Int, Long, Array[Float])],
       cfg: IvfConfig): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = byPart.sortBy(_._2).take(cfg.nLists)
-      .map(_._3.map(_.toDouble).toArray)
+      .map(_._3.map(_.toDouble))
     // stable partition slices in partition order (collect() already yields
     // partition order; groupBy would scramble it)
     val pids = byPart.map(_._1).distinct.sorted
+    val slices = pids.map(pid => byPart.filter(_._1 == pid))
     for (_ <- 1 to cfg.kmeansIters) {
       val cs = centroids
       val dim = if (cs.nonEmpty) cs(0).length else 0
       // partials in (partition, cluster) order — exactly the distributed
       // collect order
-      val partials = pids.flatMap { pid =>
+      val partials = slices.flatMap { slice =>
         val sums = Array.ofDim[Double](cs.length, dim)
         val counts = new Array[Long](cs.length)
-        byPart.foreach { case (p, _, v) =>
-          if (p == pid) {
-            val cl = nearestCentroid(v, cs)
-            counts(cl) += 1
-            var d = 0
-            val n = math.min(dim, v.length)
-            while (d < n) { sums(cl)(d) += v(d); d += 1 }
-          }
+        slice.foreach { case (_, _, v) =>
+          val cl = nearestCentroidArr(v, cs)
+          counts(cl) += 1
+          var d = 0
+          val n = math.min(dim, v.length)
+          while (d < n) { sums(cl)(d) += v(d); d += 1 }
         }
         Iterator.tabulate(cs.length)(c => (c, counts(c), sums(c).toSeq))
       }
@@ -378,6 +389,29 @@ object Similarity {
 
   /** Index of the max-cosine centroid (ties to the lower index). */
   private[ops] def nearestCentroid(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = Double.MinValue
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var d = 0
+      val n = math.min(v.length, c.length)
+      while (d < n) {
+        dot += v(d).toDouble * c(d); nc += c(d) * c(d)
+        nv += v(d).toDouble * v(d); d += 1
+      }
+      val cos = if (nc == 0 || nv == 0) -2.0 else dot / math.sqrt(nc * nv)
+      if (cos > bestCos) { bestCos = cos; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** [[nearestCentroid]] over a primitive array — the identical IEEE
+    * expression sequence (same loop order, same ops), O(1) unboxed element
+    * access for the driver Lloyd loop. */
+  private def nearestCentroidArr(v: Array[Float], cs: Array[Array[Double]]): Int = {
     var best = 0
     var bestCos = Double.MinValue
     var i = 0

@@ -108,7 +108,18 @@ object ScaleFixture {
     * with the corpus (Heaps'-law posture of real web data) keeps expected
     * df-per-token growth — and hence candidate volume — ~linear in corpus
     * size, which is what a scaling ratio should measure. */
-  def ensure(spark: SparkSession, baseDir: String, outDir: String): String = {
+  def ensure(spark: SparkSession, baseDir: String, outDir: String): String =
+    ensureScaled(spark, baseDir, outDir, Factor, Docs, Vecs, Events, Users)
+
+  /** Parameterized fixture generator — same deterministic per-id streams
+    * and the same vocab-growth rule (× factor^(1/3)) at any scale, so a
+    * 100× fixture composes with the 10× point for multi-point scaling
+    * evidence. The `_READY` signature embeds every size parameter; the 10×
+    * signature is byte-identical to pre-parameterization builds, so the
+    * cached driver fixture is not regenerated. */
+  def ensureScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int, docs: Long, vecs: Long, events: Long,
+      users: Int = Users): String = {
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
 
@@ -120,24 +131,24 @@ object ScaleFixture {
     // a bare marker would silently reuse a fixture built from a different
     // base dir or an older generator, making cross-round bench ratios
     // incomparable without any visible signal
-    val signature = s"v3|$Factor|$Docs|$Vecs|$Events|$Dim|$Users|" +
+    val signature = s"v3|$factor|$docs|$vecs|$events|$Dim|$users|" +
       s"${baseVocab.length}|${baseVocab.mkString(",").hashCode}"
     val ready = Paths.get(outDir, "_READY")
     if (Files.exists(ready) && Files.readString(ready).trim == signature)
       return outDir
-    // vocab × Factor^(1/3): trigram space scales ×Factor, so matched-pair
-    // volume per doc stays ~constant as the corpus grows ×Factor. Synthetic
+    // vocab × factor^(1/3): trigram space scales ×factor, so matched-pair
+    // volume per doc stays ~constant as the corpus grows ×factor. Synthetic
     // words are AVALANCHED (hex of a splitmix64 stream): sequential names
     // like "tok27" share FNV-1a bits on ~35 of 64 positions (2 low-ASCII
     // suffix chars don't avalanche), which made the whole vocabulary vote
     // one simhash direction — see [[docWords]].
-    val target = math.ceil(baseVocab.length * math.cbrt(Factor.toDouble)).toInt
+    val target = math.ceil(baseVocab.length * math.cbrt(factor.toDouble)).toInt
     val extra = (0 until (target - baseVocab.length).max(0))
       .map(i => "w" + java.lang.Long.toHexString(splitmix64(0x5EEDL ^ i.toLong) >>> 24))
     val vocab = (baseVocab ++ extra).distinct.sorted
     val bcVocab = spark.sparkContext.broadcast(vocab)
 
-    spark.range(Docs).mapPartitions { it =>
+    spark.range(docs).mapPartitions { it =>
       val v = bcVocab.value
       it.map { id =>
         val text = docText(id, v)
@@ -146,7 +157,7 @@ object ScaleFixture {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    spark.range(Vecs).mapPartitions(_.map(id =>
+    spark.range(vecs).mapPartitions(_.map(id =>
         (id, vec(id).toSeq, (id % 8).toInt)))
       .toDF("vec_id", "embedding", "label")
       .selectExpr("vec_id", "cast(embedding as array<float>) AS embedding",
@@ -156,9 +167,9 @@ object ScaleFixture {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val spanMs = 30L * 24 * 3600 * 1000
     val types = Array("view", "click", "purchase", "signup", "error")
-    spark.range(Events).mapPartitions(_.map { id =>
+    spark.range(events).mapPartitions(_.map { id =>
       val ts = new java.sql.Timestamp(t0 + (drawDouble(id, 1) * spanMs).toLong)
-      (id, ts, (draw(id, 2, Users) + 1).toLong, types(draw(id, 3, types.length)),
+      (id, ts, (draw(id, 2, users) + 1).toLong, types(draw(id, 3, types.length)),
         math.rint(drawDouble(id, 4) * 20000) / 100.0, s"""{"k": ${draw(id, 5, 100)}}""")
     }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")

@@ -73,6 +73,29 @@ object Similarity {
     (a, b) => u(a, b)
   }
 
+  /** sqrt(dot(v,v)) — the norm half of [[cosineKernel]], computed once per
+    * VECTOR so scoring stages pay one dot per scored pair instead of
+    * three. `cos = dot(a,b)/(na*nb)` is the identical IEEE expression tree
+    * as [[cosineKernel]] (same loop, same sqrt, same multiply/divide
+    * order), so every cosine is bit-identical. */
+  private val vecNorm = udf((v: Seq[Float]) => math.sqrt(dotKernel(v, v)))
+  private val cosineWithNorms =
+    udf((a: Seq[Float], b: Seq[Float], na: Double, nb: Double) =>
+      dotKernel(a, b) / (na * nb))
+
+  /** Spread a frame to the session's parallelism when its partition count
+    * is far below it: a small parquet scan yields 1-4 partitions and any
+    * kernel-heavy stage pipelined on top of it (scoring joins over a
+    * broadcast probe side, per-partition heaps) serializes onto that many
+    * cores no matter the cluster size — the
+    * [[graft.streaming.StreamingIngest]] narrow-batch rule applied to the
+    * ANN scoring scans. No-ops on already-wide frames. */
+  private def spreadNarrow(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < parallelism) df.repartition(parallelism)
+    else df
+  }
+
   /** Exact top-k neighbors for each query row.
     * `queries` must have (query_id, q_embedding).
     *
@@ -99,7 +122,9 @@ object Similarity {
         .as[(Long, Seq[Float])].collect()
         .map { case (id, v) => (id, v.toArray[Float]) }
       val bc = spark.sparkContext.broadcast(qs)
-      corpus.select(col("vec_id").cast("long"), col("embedding"))
+      // spread first: the per-partition heap kernel runs on the scan's
+      // partitioning, which a small parquet file caps at 1-4 tasks
+      spreadNarrow(corpus).select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Seq[Float])]
         .mapPartitions { it =>
           val q = bc.value
@@ -161,11 +186,77 @@ object Similarity {
         .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
         .select(col("query_id"), col("vec_id"), col("cos"))
     }
+    rankTopK(scored, k)
+  }
+
+  /** Per-partition bounded-heap reduction of a scored candidate frame
+    * `(query_id, vec_id, cos)` before the global rank window: each
+    * partition keeps its local top-k per query under the strict total
+    * order (cos desc, vec_id asc), so the window's exchange carries at
+    * most queries × partitions × k rows instead of every scored candidate.
+    * A local top-k under a strict total order always contains every global
+    * top-k member, so downstream ranks/values/tie-breaks are IDENTICAL —
+    * the [[bruteForceTopK]] r5 argument, now shared by the LSH/IVF rank
+    * stages whose scored frames grow as queries × probed-fraction × corpus
+    * (measured 38× instead of 10× cost from 10× to 100× corpus on the IVF
+    * path: the Q×N-ish shuffle was the whole regression). */
+  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("cos"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[(Array[Double], Array[Long], Array[Int])]
+        // better = higher cos, ties to smaller vec_id
+        def worseThan(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+          c1 < c2 || (c1 == c2 && i1 > i2)
+        it.foreach { case (qid, vid, c) =>
+          val (hc, hi, st) = heaps.getOrElseUpdate(qid,
+            (new Array[Double](k), new Array[Long](k), new Array[Int](2)))
+          val n = st(0)
+          if (n < k) {
+            hc(n) = c; hi(n) = vid; st(0) = n + 1
+            if (n + 1 == k) { // full: locate the worst entry
+              var w = 0; var j = 1
+              while (j < k) {
+                if (worseThan(hc(j), hi(j), hc(w), hi(w))) w = j
+                j += 1
+              }
+              st(1) = w
+            }
+          } else {
+            val w = st(1)
+            if (worseThan(hc(w), hi(w), c, vid)) {
+              hc(w) = c; hi(w) = vid
+              var w2 = 0; var j = 1
+              while (j < k) {
+                if (worseThan(hc(j), hi(j), hc(w2), hi(w2))) w2 = j
+                j += 1
+              }
+              st(1) = w2
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, (hc, hi, st)) =>
+          (0 until st(0)).iterator.map(j => (qid, hi(j), hc(j)))
+        }
+      }.toDF("query_id", "vec_id", "cos")
+  }
+
+  /** Exact global top-k rank over a scored candidate frame: local
+    * per-partition heaps ([[localTopK]]) then ONE window over the tiny
+    * candidate union. Output matches the naive
+    * `row_number().over(query window)` plan exactly. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    localTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cos"))
   }
 
   final case class LshConfig(tables: Int = 8, bits: Int = 10, seed: Int = 42)
@@ -217,15 +308,14 @@ object Similarity {
     val candidates = candidateIds
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
         col("query_id"), col("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    candidates
-      .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .join(broadcast(queries.withColumn("n_q", vecNorm(col("q_embedding")))),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("n_v")), Seq("vec_id"))
+    rankTopK(candidates
+      .withColumn("cos", cosineWithNorms(col("q_embedding"), col("embedding"),
+        col("n_q"), col("n_v")))
+      .select(col("query_id"), col("vec_id"), col("cos")), k)
   }
 
   // ---- IVF (inverted-file) ANN ----------------------------------------------
@@ -447,6 +537,133 @@ object Similarity {
     scored.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
   }
 
+  /** The probed-scoring stage shared by [[ivfTopK]] and
+    * [[ivfTopKIndexed]]: per-LIST query packs (query id, primitive vector,
+    * precomputed norm) are shipped once, and one mapPartitions pass over
+    * the listed corpus scores each row against its list's queries in a
+    * tight primitive-array loop with a bounded per-query heap — the
+    * [[bruteForceTopK]] kernel restricted by list membership. The r5 plan
+    * materialized corpus × probed-fraction JOIN rows through a ScalaUDF:
+    * measured at the 100× fixture (200k vecs, nLists=64, nProbe=8 → 100M
+    * scored rows), the join itself cost 5 s and the per-row UDF argument
+    * conversion (two boxed Seq[Float] per row) 60 s — the kernel converts
+    * each embedding ONCE per corpus row instead of once per scored row.
+    * cos = dot(q,v)/(nq·nv) with the identical operand order and
+    * accumulation as [[cosineWithNorms]], and the local heaps use the same
+    * strict total order as [[localTopK]] — output (values, ranks,
+    * tie-breaks) is byte-identical to the join plan, which remains as the
+    * over-gate fallback for query sets too large to ship. `listed` needs
+    * (vec_id, embedding, lst). */
+  private def ivfScoreTopK(listed: DataFrame, queries: DataFrame, k: Int,
+      cfg: IvfConfig, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = listed.sparkSession
+    import spark.implicits._
+    // same ship-volume gate as the r5 probed-broadcast (rows = queries ×
+    // nProbe; bytes = embedding floats + per-row overhead), measured with
+    // one agg pass over the query frame
+    val qSized = queries.agg(count(lit(1)), sum(size(col("q_embedding")))).head()
+    val qRows = qSized.getLong(0)
+    val probeRows = qRows * cfg.nProbe
+    val probeBytes = (if (qSized.isNullAt(1)) 0L
+      else qSized.getLong(1)) * 4L * cfg.nProbe + probeRows * 24L
+    if (probeRows <= cfg.maxBroadcastProbeRows &&
+        probeBytes <= cfg.maxBroadcastProbeBytes) {
+      val qs = queries.select(col("query_id").cast("long"), col("q_embedding"))
+        .as[(Long, Seq[Float])].collect()
+      def dotA(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0; val n = math.min(a.length, b.length)
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      // per-list packs: (qid, qvec, qnorm) for every query probing the list
+      val packs = Array.fill(centroids.length)(
+        Vector.newBuilder[(Long, Array[Float], Double)])
+      qs.foreach { case (qid, qv) =>
+        val q = qv.toArray
+        val nq = math.sqrt(dotA(q, q))
+        nearestCentroids(qv, centroids, cfg.nProbe).foreach { lst =>
+          packs(lst) += ((qid, q, nq))
+        }
+      }
+      val bcPacks = spark.sparkContext.broadcast(
+        packs.map(_.result().toArray))
+      val scored = spreadNarrow(listed)
+        .select(col("vec_id").cast("long"), col("embedding"),
+          col("lst").cast("int"))
+        .as[(Long, Seq[Float], Int)]
+        .mapPartitions { it =>
+          val pk = bcPacks.value
+          val heaps = scala.collection.mutable.LongMap
+            .empty[(Array[Double], Array[Long], Array[Int])]
+          def worseThan(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+            c1 < c2 || (c1 == c2 && i1 > i2)
+          def push(qid: Long, vid: Long, c: Double): Unit = {
+            val (hc, hi, st) = heaps.getOrElseUpdate(qid,
+              (new Array[Double](k), new Array[Long](k), new Array[Int](2)))
+            val n = st(0)
+            if (n < k) {
+              hc(n) = c; hi(n) = vid; st(0) = n + 1
+              if (n + 1 == k) {
+                var w = 0; var j = 1
+                while (j < k) {
+                  if (worseThan(hc(j), hi(j), hc(w), hi(w))) w = j
+                  j += 1
+                }
+                st(1) = w
+              }
+            } else {
+              val w = st(1)
+              if (worseThan(hc(w), hi(w), c, vid)) {
+                hc(w) = c; hi(w) = vid
+                var w2 = 0; var j = 1
+                while (j < k) {
+                  if (worseThan(hc(j), hi(j), hc(w2), hi(w2))) w2 = j
+                  j += 1
+                }
+                st(1) = w2
+              }
+            }
+          }
+          it.foreach { case (vid, vSeq, lst) =>
+            val qsOfList = pk(lst)
+            if (qsOfList.nonEmpty) {
+              val v = vSeq.toArray
+              val nv = math.sqrt(dotA(v, v))
+              var i = 0
+              while (i < qsOfList.length) {
+                val (qid, q, nq) = qsOfList(i)
+                if (qid != vid) push(qid, vid, dotA(q, v) / (nq * nv))
+                i += 1
+              }
+            }
+          }
+          heaps.iterator.flatMap { case (qid, (hc, hi, st)) =>
+            (0 until st(0)).iterator.map(j => (qid, hi(j), hc(j)))
+          }
+        }.toDF("query_id", "vec_id", "cos")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          col("cos"))
+    } else {
+      // over-gate fallback: the keyed scoring join (queries too large to
+      // ship whole) — norms precomputed per side, local-heap pre-reduction
+      val bc = spark.sparkContext.broadcast(centroids)
+      val probesUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, cfg.nProbe))
+      val probed = queries.select(col("query_id"), col("q_embedding"),
+        explode(probesUdf(col("q_embedding"))).as("lst"),
+        vecNorm(col("q_embedding")).as("n_q"))
+      rankTopK(listed.withColumn("n_v", vecNorm(col("embedding")))
+        .join(probed, Seq("lst"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosineWithNorms(col("q_embedding"), col("embedding"),
+          col("n_q"), col("n_v")))
+        .select(col("query_id"), col("vec_id"), col("cos")), k)
+    }
+  }
+
   /** IVF ANN top-k: corpus vectors live in ONE coarse-quantizer list each;
     * every query probes its `nProbe` nearest lists; exact cosine re-rank
     * inside the probed lists. `nProbe = nLists` makes the search exhaustive
@@ -460,31 +677,9 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, cfg)
     val bc = spark.sparkContext.broadcast(centroids)
     val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
-    val probesUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, cfg.nProbe))
     val listed = corpus.select(col("vec_id"), col("embedding"),
       listUdf(col("embedding")).as("lst"))
-    val probed = queries.select(col("query_id"), col("q_embedding"),
-      explode(probesUdf(col("q_embedding"))).as("lst"))
-    // size-gated broadcast (one cheap agg pass over the probe frame — the
-    // probe UDF over the query set, not the corpus): above either gate the
-    // list join shuffles instead (AQE may still promote a small side).
-    // ~24 bytes/row of row overhead + 4 bytes per embedding float.
-    val probedSized = probed.agg(count(lit(1)), sum(size(col("q_embedding")))).head()
-    val probeRows = probedSized.getLong(0)
-    val probeBytes = (if (probedSized.isNullAt(1)) 0L
-      else probedSized.getLong(1)) * 4L + probeRows * 24L
-    val probedSide =
-      if (probeRows <= cfg.maxBroadcastProbeRows &&
-          probeBytes <= cfg.maxBroadcastProbeBytes) broadcast(probed)
-      else probed
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    listed.join(probedSide, Seq("lst"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    ivfScoreTopK(listed, queries, k, cfg, centroids)
   }
 
   // ---- persisted IVF index --------------------------------------------------
@@ -642,28 +837,9 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val assignments = spark.read.parquet(s"$dir/assignments.parquet")
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probesUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, cfg.nProbe))
     val listed = corpus.join(assignments, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("lst"))
-    val probed = queries.select(col("query_id"), col("q_embedding"),
-      explode(probesUdf(col("q_embedding"))).as("lst"))
-    val probedSized = probed.agg(count(lit(1)), sum(size(col("q_embedding")))).head()
-    val probeRows = probedSized.getLong(0)
-    val probeBytes = (if (probedSized.isNullAt(1)) 0L
-      else probedSized.getLong(1)) * 4L + probeRows * 24L
-    val probedSide =
-      if (probeRows <= cfg.maxBroadcastProbeRows &&
-          probeBytes <= cfg.maxBroadcastProbeBytes) broadcast(probed)
-      else probed
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    listed.join(probedSide, Seq("lst"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_embedding"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+    ivfScoreTopK(listed, queries, k, cfg, centroids)
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold) via LSH

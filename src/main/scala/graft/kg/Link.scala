@@ -108,6 +108,52 @@ object Link {
   def shingles(s: String): Set[String] =
     if (s.length < 3) Set(s) else s.sliding(3).toSet
 
+  /** [[shingles]] packed injectively into longs, SORTED DISTINCT: a
+    * trigram's 3 UTF-16 code units occupy 48 bits (c0<<32 | c1<<16 | c2);
+    * a key shorter than 3 chars packs whole into < 2^32, disjoint from any
+    * trigram's >= 2^32 (normalized keys never contain NUL, so c0 > 0).
+    * Injective ⇒ the distinct COUNT equals `shingles(s).size` and set
+    * intersections map 1:1 — jaccard over packed arrays is the identical
+    * integer ratio (and so the identical IEEE double) as over the string
+    * sets. Longs keep the exploded PPJoin token shuffle narrow (8 bytes vs
+    * a 3-char UTF8 string row) and make the per-pair verify a primitive
+    * merge scan (no string compares, no per-element boxing). */
+  def shinglesPacked(s: String): Array[Long] = {
+    val n = s.length - 2
+    if (n <= 0) {
+      var v = 0L; var i = 0
+      while (i < s.length) { v = (v << 16) | s.charAt(i).toLong; i += 1 }
+      Array(v)
+    } else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (s.charAt(i).toLong << 32) | (s.charAt(i + 1).toLong << 16) |
+          s.charAt(i + 2).toLong
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var w = 0; var r = 0
+      while (r < n) { if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }; r += 1 }
+      if (w == n) out else java.util.Arrays.copyOf(out, w)
+    }
+  }
+
+  /** Jaccard over two SORTED distinct packed-shingle arrays — the primitive
+    * mirror of [[graft.ops.Dedup.jaccardSortedKernel]]: same integer
+    * intersection/union counts, same division. */
+  def jaccardPackedKernel(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    val (na, nb) = (a.length, b.length)
+    while (i < na && j < nb) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (inter == 0) 0.0 else inter.toDouble / (na + nb - inter)
+  }
+
   def jaccard(a: String, b: String): Double = {
     val (sa, sb) = (shingles(a), shingles(b))
     val inter = sa.intersect(sb).size
@@ -178,22 +224,21 @@ object Link {
     sameAsImpl(if (delta) keys else keys.withColumn("is_new", lit(true)), cfg, delta)
 
   /** Exact-Jaccard verification of a candidate pair frame
-    * `(entity_type, key_a, key_b)`: per-KEY sorted shingle arrays joined to
-    * both sides, merge-scan intersection per pair
-    * ([[graft.ops.Dedup.jaccardSortedKernel]] — the identical integer
+    * `(entity_type, key_a, key_b)`: per-KEY sorted PACKED shingle arrays
+    * ([[shinglesPacked]]) joined to both sides, primitive merge-scan
+    * intersection per pair ([[jaccardPackedKernel]] — the identical integer
     * counts and IEEE division as [[jaccard]], so the kept pair set is
     * byte-identical). The r5 form re-shingled both strings per PAIR
     * (2 set builds + 2 murmur passes each); at kg_resolve's measured 776k
     * candidates for 3.7k keys that was ~8 s of verify CPU — shingling now
-    * runs once per key per side. Candidates are also re-spread before the
-    * kernel join (the [[graft.ops.Dedup.spreadForVerify]] rationale: AQE
-    * coalesces the id-only candidate checkpoint to ~1 task, serializing
-    * the verify). */
+    * runs once per key per side and each pair costs a long merge scan.
+    * Candidates are also re-spread before the kernel join (the
+    * [[graft.ops.Dedup.spreadForVerify]] rationale: AQE coalesces the
+    * id-only candidate checkpoint to ~1 task, serializing the verify). */
   private def verifySameAs(eligible: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val sortedSh = udf((s: String) => shingles(s).toSeq.sorted)
-    val vUdf = udf((a: Seq[String], b: Seq[String]) =>
-      graft.ops.Dedup.jaccardSortedKernel(a, b))
+    val sortedSh = udf((s: String) => shinglesPacked(s))
+    val vUdf = udf((a: Array[Long], b: Array[Long]) => jaccardPackedKernel(a, b))
     val ta = eligible.select(col("entity_type"), col("dict_key").as("key_a"),
       sortedSh(col("dict_key")).as("toks_a"))
     val tb = eligible.select(col("entity_type"), col("dict_key").as("key_b"),
@@ -219,7 +264,13 @@ object Link {
       .agg(min($"is_new").as("is_new"))
 
     if (cfg.exactSameAs) {
-      val shUdf = udf((s: String) => shingles(s).toSeq)
+      // packed-long tokens: 8-byte rows through the exploded (grp, tok)
+      // shuffle instead of 3-char strings, integer hash/compare in the
+      // prefix self-join. Injective packing ⇒ identical token-set sizes and
+      // overlaps; the rank tie-break order (df asc, tok asc) differs from
+      // the string order, so the recall-1.0 CANDIDATE superset may differ —
+      // the verified >= threshold pair set cannot (exact verify).
+      val shUdf = udf((s: String) => shinglesPacked(s))
       val items = eligible.select($"entity_type".as("grp"), $"dict_key".as("id"),
         shUdf($"dict_key").as("toks"), $"is_new")
       val cand = graft.ops.SimJoin.candidatePairs(items, cfg.jaccardThreshold,

@@ -39,11 +39,45 @@ object Similarity {
   def cosineKernel(a: Seq[Float], b: Seq[Float]): Double =
     dotKernel(a, b) / (math.sqrt(dotKernel(a, a)) * math.sqrt(dotKernel(b, b)))
 
+  /** [[dotKernel]] over primitive arrays — the identical IEEE accumulation
+    * (same index order, same double widening), O(1) unboxed access. UDFs
+    * declared over `Array[Float]` receive the row's ArrayData via one
+    * `toFloatArray()` copy and then run this loop; the `Seq[Float]` form
+    * pays a boxed `apply` per ELEMENT per call instead — measured the
+    * dominant verify cost at the near-exhaustive q_embed_neardup config. */
+  def dotArr(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
     x ^ (x >>> 31)
+  }
+
+  /** [[bucketKernel]] over a primitive array — identical hyperplane signs
+    * (same splitmix64 draws, same accumulation order), unboxed access. */
+  private def bucketKernelArr(vec: Array[Float], seed: Int, table: Int, bits: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var d = 0
+      val n = vec.length
+      while (d < n) {
+        val h = splitmix64((seed.toLong << 40) ^ (table.toLong << 24) ^ (b.toLong << 12) ^ d.toLong)
+        acc += (if ((h & 1L) == 0L) vec(d).toDouble else -vec(d).toDouble)
+        d += 1
+      }
+      if (acc >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   /** Sign-LSH bucket for one table: `bits` sign bits of projections onto
@@ -78,10 +112,10 @@ object Similarity {
     * three. `cos = dot(a,b)/(na*nb)` is the identical IEEE expression tree
     * as [[cosineKernel]] (same loop, same sqrt, same multiply/divide
     * order), so every cosine is bit-identical. */
-  private val vecNorm = udf((v: Seq[Float]) => math.sqrt(dotKernel(v, v)))
+  private val vecNorm = udf((v: Array[Float]) => math.sqrt(dotArr(v, v)))
   private val cosineWithNorms =
-    udf((a: Seq[Float], b: Seq[Float], na: Double, nb: Double) =>
-      dotKernel(a, b) / (na * nb))
+    udf((a: Array[Float], b: Array[Float], na: Double, nb: Double) =>
+      dotArr(a, b) / (na * nb))
 
   /** Spread a frame to the session's parallelism when its partition count
     * is far below it: a small parquet scan yields 1-4 partitions and any
@@ -264,8 +298,12 @@ object Similarity {
   /** (id, vec) → (id, bkts: array of one bucket per table). */
   private def bucketArrays(df: DataFrame, vecCol: String, idCol: String,
       cfg: LshConfig): DataFrame = {
-    val bucketsUdf = udf((v: Seq[Float]) =>
-      (0 until cfg.tables).map(t => bucketKernel(v, cfg.seed, t, cfg.bits)))
+    val bucketsUdf = udf((v: Array[Float]) => {
+      val out = new Array[Long](cfg.tables)
+      var t = 0
+      while (t < cfg.tables) { out(t) = bucketKernelArr(v, cfg.seed, t, cfg.bits); t += 1 }
+      out
+    })
     df.select(col(idCol), bucketsUdf(col(vecCol)).as("bkts"))
   }
 
@@ -537,6 +575,24 @@ object Similarity {
     scored.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
   }
 
+  /** [[nearestCentroids]] over a primitive array — identical scores
+    * (same loop order), identical (-cos, i) sort, unboxed access. */
+  private def nearestCentroidsArr(v: Array[Float], cs: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    val scored = cs.indices.map { i =>
+      val c = cs(i)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var d = 0
+      val n = math.min(v.length, c.length)
+      while (d < n) {
+        dot += v(d).toDouble * c(d); nc += c(d) * c(d)
+        nv += v(d).toDouble * v(d); d += 1
+      }
+      (i, if (nc == 0 || nv == 0) -2.0 else dot / math.sqrt(nc * nv))
+    }
+    scored.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
+  }
+
   /** The probed-scoring stage shared by [[ivfTopK]] and
     * [[ivfTopKIndexed]]: per-LIST query packs (query id, primitive vector,
     * precomputed norm) are shipped once, and one mapPartitions pass over
@@ -651,7 +707,7 @@ object Similarity {
       // over-gate fallback: the keyed scoring join (queries too large to
       // ship whole) — norms precomputed per side, local-heap pre-reduction
       val bc = spark.sparkContext.broadcast(centroids)
-      val probesUdf = udf((v: Seq[Float]) => nearestCentroids(v, bc.value, cfg.nProbe))
+      val probesUdf = udf((v: Array[Float]) => nearestCentroidsArr(v, bc.value, cfg.nProbe))
       val probed = queries.select(col("query_id"), col("q_embedding"),
         explode(probesUdf(col("q_embedding"))).as("lst"),
         vecNorm(col("q_embedding")).as("n_q"))
@@ -676,7 +732,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val centroids = kmeansCentroids(corpus, cfg)
     val bc = spark.sparkContext.broadcast(centroids)
-    val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    val listUdf = udf((v: Array[Float]) => nearestCentroidArr(v, bc.value))
     val listed = corpus.select(col("vec_id"), col("embedding"),
       listUdf(col("embedding")).as("lst"))
     ivfScoreTopK(listed, queries, k, cfg, centroids)
@@ -708,7 +764,7 @@ object Similarity {
     val (fp, n) = corpusFingerprint(corpus)
     val centroids = kmeansCentroids(corpus, cfg)
     val bc = spark.sparkContext.broadcast(centroids)
-    val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    val listUdf = udf((v: Array[Float]) => nearestCentroidArr(v, bc.value))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("lst", "centroid")
@@ -796,7 +852,7 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
-    val listUdf = udf((v: Seq[Float]) => nearestCentroid(v, bc.value))
+    val listUdf = udf((v: Array[Float]) => nearestCentroidArr(v, bc.value))
     newVecs.select(col("vec_id"), listUdf(col("embedding")).as("lst"))
       .write.mode("append").parquet(s"$dir/assignments.parquet")
     // atomic meta replace: a crash mid-write must leave the OLD meta (the
@@ -883,14 +939,26 @@ object Similarity {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Seq[Long])]) =>
         val tbl = key._1
-        val m = it.toArray
-        val out = Vector.newBuilder[(Long, Long)]
+        val rows = it.toArray
+        // unpack ONCE per row (ids + primitive signature arrays) — the
+        // quadratic scan below then reads plain fields, not per-(i,j) tuple
+        // destructuring and boxed Seq apply
+        val n = rows.length
+        val ids = new Array[Long](n)
+        val sigs = new Array[Array[Long]](n)
+        var p = 0
+        while (p < n) {
+          ids(p) = rows(p)._3
+          sigs(p) = rows(p)._4.toArray
+          p += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var i = 0
-        while (i < m.length) {
+        while (i < n) {
+          val idA = ids(i); val bkA = sigs(i)
           var j = i + 1
-          while (j < m.length) {
-            val (_, _, idA, bkA) = m(i)
-            val (_, _, idB, bkB) = m(j)
+          while (j < n) {
+            val idB = ids(j); val bkB = sigs(j)
             // first common table must be THIS one
             var t = 0
             while (t < tbl && bkA(t) != bkB(t)) t += 1
@@ -900,7 +968,7 @@ object Similarity {
           }
           i += 1
         }
-        out.result()
+        out
       }
       .toDF("vec_a", "vec_b")
       // spread the id-only pairs before the kernel-heavy exact verify
@@ -913,9 +981,9 @@ object Similarity {
     // sqrt, same multiply/divide order), at a third of the verify flops —
     // the verify kernel runs once per CANDIDATE (near-exhaustive fixture
     // config: ~N^2/2 pairs), the norm once per vector
-    val normUdf = udf((v: Seq[Float]) => math.sqrt(dotKernel(v, v)))
-    val cosPre = udf((a: Seq[Float], b: Seq[Float], na: Double, nb: Double) =>
-      dotKernel(a, b) / (na * nb))
+    val normUdf = udf((v: Array[Float]) => math.sqrt(dotArr(v, v)))
+    val cosPre = udf((a: Array[Float], b: Array[Float], na: Double, nb: Double) =>
+      dotArr(a, b) / (na * nb))
     val ea = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
       normUdf(col("embedding")).as("n_a"))
     val eb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),

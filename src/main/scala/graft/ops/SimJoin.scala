@@ -82,9 +82,23 @@ object SimJoin {
       delta: Boolean): (DataFrame, DataFrame) = {
     require(t > 0.0 && t <= 1.0, s"threshold in (0,1]: $t")
     val newCol = if (delta) col("is_new") else lit(true)
+    // tokens ride the candidate stage as 64-bit hashes, not strings: the
+    // exploded frame feeds two window sorts and the prefix self-join — all
+    // keyed by `tok` — and a natural-corpus n-gram is tens of UTF8 bytes
+    // per row while the hash is 8. Recall is unconditional: equal tokens
+    // hash equal, so every true-shared-token match still meets; a hash
+    // COLLISION can only merge distinct tokens, adding matched rows /
+    // candidates (and nudging the df-asc rank heuristic — ANY globally
+    // consistent token order preserves the prefix-filter guarantee, df-asc
+    // is just the volume heuristic). Every caller verifies candidates with
+    // EXACT Jaccard on the original records, so the output pair set is
+    // unchanged. Measured at the 100x fixture (46M exploded 8-grams):
+    // the candidate stage's shuffled bytes drop ~4x.
     val toks = items
       .select(col("grp"), col("id"), size(col("toks")).cast("long").as("sz"),
-        newCol.as("is_new"), explode(col("toks")).as("tok"))
+        newCol.as("is_new"), explode(col("toks")).as("tok0"))
+      .select(col("grp"), col("id"), col("sz"), col("is_new"),
+        xxhash64(col("tok0")).as("tok"))
 
     // document frequency as a count-over-window sharing the (grp, tok)
     // shuffle — the r5 groupBy+join-back formulation paid a second shuffle
@@ -94,7 +108,14 @@ object SimJoin {
     val byRarity = Window.partitionBy(col("grp"), col("id"))
       .orderBy(col("df").asc, col("tok").asc)
     // rank over ALL tokens (ranks are the shared global order), THEN drop
-    // the df=1 tail — a dropped rank can never be the shared prefix token
+    // the df=1 tail — a dropped rank can never be the shared prefix token.
+    // Do NOT be tempted to filter df=1 before the rank: recall would
+    // survive (a shared token's rank only decreases), but `rn` would stop
+    // being the true in-record position and the positional upper bound
+    // 1 + min(sz - rn, ...) would go slack — measured at the 100x fixture
+    // (hapax-heavy, ~83% of 8-grams dropped) the candidate set blew up
+    // 6.7k → 6.5M and the join ran 2.3x SLOWER; the tight positional
+    // filter is worth far more than the smaller rank window.
     val ranked = toks
       .withColumn("df", count(lit(1)).over(byTok))
       .withColumn("rn", row_number().over(byRarity))

@@ -121,10 +121,13 @@ object Plans {
       // (lambda HOFs are CodegenFallback, ~1000x slower per element)
       "no lambda higher-order functions in the plan" ->
         (s => !s.toLowerCase.contains("lambdafunction")),
-      // regexp_count is runtime-replaced to size(regexp_extract_all(...)),
-      // a native codegen'd form — assert that is what scores the markers
-      "marker scoring via native regexp (codegen'd)" ->
-        (s => s.toLowerCase.contains("regexp_extract_all")))
+      // marker scoring runs as char-loop UDF kernels (r6: java.util.regex
+      // itself — a predicate lambda dispatch per character — was the
+      // measured top CPU of the 400x curation rehearsal, so the regexp
+      // forms were replaced by value-identical kernels); assert the scan
+      // carries the kernel projections and no regex expression survives
+      "marker scoring via char-loop kernels (no regex engine)" ->
+        (s => s.contains("UDF") && !s.toLowerCase.contains("regexp_")))
 
     audit("q_top_terms", SparkEntry.queries("q_top_terms")(spark, dir), execute = true)(
       "corpus size folded into the plan (no separate driver action)" ->

@@ -248,8 +248,8 @@ object Bpe {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
         val ms = bc.value
-        val words = (if (text == null) "" else text)
-          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val words = graft.ops.TextStats.wsTokensKernel(
+          (if (text == null) "" else text).toLowerCase)
         val out = words.flatMap { w =>
           var s = toSymbols(w)
           ms.foreach { case (a, b) => s = mergePair(s, a, b) }

@@ -73,11 +73,10 @@ object Curate {
     val toks = TextStats.tokens(col("text"))
     val nChars = length(col("text")).cast("double")
     val nToks = size(toks).cast("double")
-    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-      .cast("double")
+    val punct = TextStats.punctCount(col("text")).cast("double")
     val repK = udf((text: String) => {
-      val ts = (if (text == null) "" else text)
-        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ts = TextStats.wsTokensKernel(
+        (if (text == null) "" else text).toLowerCase)
       val n = ts.length
       val dupW = if (n == 0) 0.0 else (n - ts.distinct.length).toDouble / n
       var topBg = 0.0

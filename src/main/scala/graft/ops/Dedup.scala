@@ -51,7 +51,7 @@ object Dedup {
 
   /** Normalized word n-gram shingle set. */
   def wordShinglesKernel(text: String, n: Int): Set[String] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = TextStats.wsTokensKernel(text.toLowerCase)
     if (toks.length < n) toks.toSet
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
@@ -59,6 +59,54 @@ object Dedup {
   def jaccardKernel(a: Set[String], b: Set[String]): Double = {
     val inter = a.intersect(b).size
     if (inter == 0) 0.0 else inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /** SORTED DISTINCT 64-bit hashes of [[wordShinglesKernel]]'s n-gram set,
+    * computed WITHOUT materializing the n-gram strings: each window
+    * combines its words' FNV-1a-64 hashes through a splitmix64 chain (a
+    * deterministic function of the word sequence — same n-gram, same
+    * hash), then sort + dedupe. This is the CANDIDATE-stage token set
+    * only (the prefix join needs token identity and per-record set size,
+    * not the strings); verification always re-derives exact string
+    * n-grams. Distinct n-grams colliding (which would shrink a record's
+    * set size or merge df counts) needs a 64-bit collision inside one
+    * corpus's shingle vocabulary — P < 2^-40 at any real corpus, asserted
+    * ZERO on the repo's oracle/bench corpora by the OpsSpec injectivity
+    * test, so graded candidate recall stays exactly 1.0. The measured win
+    * is allocation, not just bytes: building 2M docs × ~98 n-gram strings
+    * per side was the 400× curation rehearsal's scaling ceiling. */
+  def wordShingleHashesKernel(text: String, n: Int): Array[Long] = {
+    val toks = TextStats.wsTokensKernel(text.toLowerCase)
+    def fnv64(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    val wh = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { wh(i) = fnv64(toks(i)); i += 1 }
+    val m = toks.length
+    val out = if (m < n) wh else {
+      val o = new Array[Long](m - n + 1)
+      var s = 0
+      while (s <= m - n) {
+        var acc = 0x9E3779B97F4A7C15L
+        var k = 0
+        while (k < n) { acc = splitmix64(acc ^ wh(s + k)); k += 1 }
+        o(s) = acc
+        s += 1
+      }
+      o
+    }
+    java.util.Arrays.sort(out)
+    var w = 0; var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
   /** Jaccard over two SORTED distinct-string arrays via merge intersection
@@ -79,19 +127,41 @@ object Dedup {
   }
 
   /** Shared exact-Jaccard verify: join candidates to per-doc SORTED shingle
-    * arrays (built once per doc per side) and merge-scan each pair. */
+    * arrays (built once per doc per side) and merge-scan each pair.
+    *
+    * Only CANDIDATE-INVOLVED docs are shingled: the candidate id set is
+    * orders of magnitude below the corpus (blocked + capped), but a bare
+    * join streams the WHOLE corpus through the shingling UDF on each side
+    * and lets the hash probe discard non-candidates only AFTER their
+    * n-gram arrays were built — measured 2M UDF evaluations per side for
+    * ~30k candidate-involved docs at the 400× curation rehearsal
+    * (allocation-bound string building; the decisions stage's 2→8-core
+    * scaling ceiling). The semi-join on distinct candidate ids first makes
+    * the UDF pass O(candidate docs); exact — no row that could survive the
+    * equi-join is dropped. */
   private[ops] def verifyJaccard(docs: DataFrame, candidates: DataFrame,
-      shingleN: Int, threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double): (DataFrame, () => Unit) = {
     val sortedShingles = udf((text: String) =>
       wordShinglesKernel(if (text == null) "" else text, shingleN).toSeq.sorted)
     val vUdf = udf((a: Seq[String], b: Seq[String]) => jaccardSortedKernel(a, b))
-    val ta = docs.select(col("doc_id").as("doc_a"), sortedShingles(col("text")).as("toks_a"))
-    val tb = docs.select(col("doc_id").as("doc_b"), sortedShingles(col("text")).as("toks_b"))
-    spreadForVerify(candidates)
+    val ids = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // shingled candidate-involved docs, materialized ONCE (both join sides
+    // consume it and `docs` is often a computed subtree, not a bare scan —
+    // without the checkpoint each side would re-run that subtree); the
+    // caller's free() thunk releases it (the ManagedPairs discipline —
+    // O(candidate docs) rows, far below corpus scale)
+    val shingled = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sortedShingles(col("text")).as("toks"))
+      .localCheckpoint(eager = true)
+    val ta = shingled.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = shingled.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val out = spreadForVerify(candidates)
       .join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         vUdf(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (out, () => { shingled.unpersist(); () })
   }
 
   private def splitmix64(x0: Long): Long = {
@@ -185,8 +255,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
-    ManagedPairs(verifyJaccard(docs, candidates, cfg.shingleN, cfg.jaccardThreshold),
-      () => { capped.unpersist(); () })
+    // candidates sealed eagerly: the verify consumes them twice (the
+    // involved-id probe and the pair join) and they are a lazy DAG over
+    // `capped` — id-only rows, bounded by the cap
+    val sealedCand = candidates.localCheckpoint(eager = true)
+    val (verified, freeShingled) =
+      verifyJaccard(docs, sealedCand, cfg.shingleN, cfg.jaccardThreshold)
+    ManagedPairs(verified,
+      () => { capped.unpersist(); sealedCand.unpersist(); freeShingled(); () })
   }
 
   /** Re-spread a small candidate-id frame across the machine before the
@@ -219,14 +295,18 @@ object Dedup {
   def ngramJaccardPairsManaged(docs: DataFrame, shingleN: Int = 3,
       minJaccard: Double = 0.5): ManagedPairs = {
     require(minJaccard > 0.0 && minJaccard <= 1.0, s"minJaccard in (0,1]: $minJaccard")
+    // candidate stage runs on hashed shingles ([[wordShingleHashesKernel]]
+    // — no n-gram string allocation, 8-byte tokens end to end); the verify
+    // below re-derives exact string n-grams for candidate-involved docs
     val shingleUdf = udf((text: String) =>
-      wordShinglesKernel(if (text == null) "" else text, shingleN).toSeq)
+      wordShingleHashesKernel(if (text == null) "" else text, shingleN))
     val items = docs.select(lit("_").as("grp"), col("doc_id").as("id"),
       shingleUdf(col("text")).as("toks"))
     val candidates = SimJoin.candidatePairs(items, minJaccard, "ngram")
     val pairs = candidates.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    ManagedPairs(verifyJaccard(docs, pairs, shingleN, minJaccard),
-      () => { candidates.unpersist(); () })
+    val (verified, freeShingled) = verifyJaccard(docs, pairs, shingleN, minJaccard)
+    ManagedPairs(verified,
+      () => { candidates.unpersist(); freeShingled(); () })
   }
 
   /** SimHash near-dup pairs: 64-bit simhash (native codegen'd expression),

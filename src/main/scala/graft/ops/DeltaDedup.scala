@@ -112,10 +112,11 @@ object DeltaDedup {
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
 
-    Dedup.ManagedPairs(
-      Dedup.verifyJaccard(all.drop("is_new"), candidates, cfg.shingleN,
-        cfg.jaccardThreshold),
-      () => { capped.unpersist(); () })
+    val sealedCand = candidates.localCheckpoint(eager = true)
+    val (verified, freeShingled) = Dedup.verifyJaccard(all.drop("is_new"),
+      sealedCand, cfg.shingleN, cfg.jaccardThreshold)
+    Dedup.ManagedPairs(verified,
+      () => { capped.unpersist(); sealedCand.unpersist(); freeShingled(); () })
   }
 
   // ---- persisted-state incremental ingest --------------------------------------
@@ -273,8 +274,9 @@ object DeltaDedup {
     val verified = partnerTexts.map { corpusTexts =>
       val texts = corpusTexts.select(col("doc_id"), col("text"))
         .unionByName(batch.select(col("doc_id"), col("text")))
-      Dedup.verifyJaccard(texts, candidates, cfg.shingleN, cfg.jaccardThreshold)
-        .localCheckpoint(eager = true)
+      val (v, freeShingled) =
+        Dedup.verifyJaccard(texts, candidates, cfg.shingleN, cfg.jaccardThreshold)
+      try v.localCheckpoint(eager = true) finally freeShingled()
     }
 
     Materialize.appendDelta(spark, sigsTable(dir), fresh,

@@ -45,8 +45,8 @@ object DupSpans {
     * lowercased whitespace tokens of `text`; index in the returned array ==
     * 0-based token position of the window start. One pass, no HOFs. */
   private[ops] def windowFpsKernel(text: String, w: Int): Array[Long] = {
-    val toks = (if (text == null) "" else text)
-      .toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = graft.ops.TextStats.wsTokensKernel(
+      (if (text == null) "" else text).toLowerCase)
     val n = toks.length
     if (n < w) Array.empty[Long]
     else Array.tabulate(n - w + 1) { i =>
@@ -146,7 +146,7 @@ object DupSpans {
     * whitespace is normalized for untouched docs too — documented below). */
   private[ops] def removeKernel(text: String, mns: Array[Int],
       lens: Array[Int]): (String, Long) = {
-    val toks = (if (text == null) "" else text).split("\\s+").filter(_.nonEmpty)
+    val toks = graft.ops.TextStats.wsTokensKernel(if (text == null) "" else text)
     if (mns == null || mns.isEmpty) return (toks.mkString(" "), toks.length.toLong)
     val sb = new java.lang.StringBuilder
     var kept = 0L

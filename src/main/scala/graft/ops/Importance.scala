@@ -44,7 +44,7 @@ object Importance {
   private def tokenBuckets(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
     docs.select(col(idCol),
-        explode_outer(regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
+        explode_outer(TextStats.tokens(lower(col(textCol))))
           .as("tok"))
       .select(col(idCol), pmod(TextHash.fingerprint64(col("tok")), lit(buckets))
         .as("bucket"))

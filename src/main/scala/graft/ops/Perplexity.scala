@@ -38,8 +38,8 @@ object Perplexity {
   /** `(h1, h12)` per bigram position: FNV fingerprints of the history token
     * and of the joined bigram, in document order. One pass, no HOFs. */
   private[ops] def bigramHashKernel(text: String): Seq[(Long, Long)] = {
-    val toks = (if (text == null) "" else text)
-      .toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = graft.ops.TextStats.wsTokensKernel(
+      (if (text == null) "" else text).toLowerCase)
     if (toks.length < 2) Seq.empty
     else (0 until toks.length - 1).map { i =>
       (TextHashKernels.fingerprint64(UTF8String.fromString(toks(i))),
@@ -74,8 +74,8 @@ object Perplexity {
     // V = distinct target unigrams. uni counts HISTORY tokens only (the
     // last token of the corpus never opens a bigram) — count the real
     // vocabulary from a dedicated distinct pass so P is the textbook model.
-    val tokK = udf((text: String) => (if (text == null) "" else text)
-      .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tokK = udf((text: String) => graft.ops.TextStats.wsTokensKernel(
+      (if (text == null) "" else text).toLowerCase).toSeq
       .map(t => TextHashKernels.fingerprint64(UTF8String.fromString(t))))
     // the three count lanes (unigram table, bigram table, vocabulary size)
     // are independent sub-DAGs off the shared tb checkpoint / target scan:

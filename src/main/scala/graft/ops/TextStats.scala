@@ -6,34 +6,128 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents(doc_id, text, lang, source, n_chars)` table.
   *
-  * Everything here is pure column expressions (whole-stage codegen'd, no
-  * UDFs) so the operators scan-pipeline at 100 TB: one pass over the text
-  * column, no shuffle until an explicit aggregation.
+  * Everything here is a per-row function of the text column (column
+  * expressions plus tight char-loop UDF kernels) so the operators
+  * scan-pipeline at 100 TB: one pass over the text column, no shuffle
+  * until an explicit aggregation. The regex-engine expressions the
+  * kernels replaced were codegen'd too, but java.util.regex itself was
+  * the measured top CPU of the 400x curation rehearsal (a predicate
+  * lambda dispatch per character plus a string allocation per match).
   */
 object TextStats {
 
-  /** whitespace tokens (empty-safe): all maximal non-whitespace runs.
-    * regexp_extract_all is a NATIVE codegen'd expression — the earlier
-    * split+filter form used the `filter` higher-order function, which is
-    * interpreted (CodegenFallback) and was measured ~1000x slower per
-    * element on this repo's kernels; at 100 TB the token scan would have
-    * been the bottleneck of every text operator below. */
-  def tokens(text: Column): Column =
-    regexp_extract_all(text, lit("\\S+"), lit(0))
+  /** The exact char set Java-regex `\s` matches without
+    * UNICODE_CHARACTER_CLASS: the 6 ASCII whitespace chars. Every kernel
+    * below replaces a regex that used `\s`/`\S`, so this predicate — not
+    * Character.isWhitespace, which also matches Unicode spaces — is what
+    * keeps the kernels value-identical to the regex forms they replaced. */
+  @inline private[ops] def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Count of tokens from `words` appearing in (already-lowercased) text —
-    * one codegen'd regexp_count instead of an interpreted per-token filter.
-    * Each match consumes at most its one leading whitespace char, so
-    * adjacent stopwords ("a a a") all count; the lookahead boundary keeps
-    * partial-token matches out ("an" never matches inside "and"). */
-  private def markerCount(lowered: Column, words: Seq[String]): Column =
-    regexp_count(lowered, lit(s"(?:^|\\s)(?:${words.mkString("|")})(?=\\s|$$)"))
+  /** All maximal non-whitespace runs — exactly
+    * `regexp_extract_all(text, "\\S+", 0)` (greedy `\S+` matches are
+    * precisely the maximal runs, in order), without the regex engine:
+    * java.util.regex char-class predicates dispatch a lambda per CHARACTER
+    * and regexp_extract_all was measured the top CPU consumer of the
+    * whole 400× curation decisions stage (every executor thread inside
+    * Pattern$BmpCharPredicate). Null-safe like the regex form. */
+  private[ops] def wsTokensKernel(s: String): Array[String] = {
+    if (s == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isRegexWs(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** whitespace tokens (empty-safe): all maximal non-whitespace runs.
+    * A typed kernel with the exact `regexp_extract_all(text, "\\S+")`
+    * semantics (see [[wsTokensKernel]]); the earlier split+filter form
+    * used the `filter` higher-order function (interpreted CodegenFallback,
+    * ~1000x slower per element), and the regexp_extract_all form it was
+    * replaced by kept the regex ENGINE on the hot path — Pattern
+    * char-class predicates per character plus one allocated match list
+    * entry per token. */
+  def tokens(text: Column): Column = tokensUdf(text)
+  private val tokensUdf = udf((s: String) => wsTokensKernel(s))
+
+  /** Count of tokens from `words` appearing in (already-lowercased) text.
+    * Kernel equivalent of the previous
+    * `regexp_count(lowered, "(?:^|\\s)(?:w1|w2|...)(?=\\s|$)")`: a match is
+    * a token run equal to one of `words` — maximal runs satisfy both
+    * boundary conditions, each counted once (adjacent stopwords "a a a"
+    * all count; "an" never matches inside "and"). */
+  private def markerCount(lowered: Column, words: Seq[String]): Column = {
+    val set = words.toSet
+    val u = udf((s: String) => {
+      if (s == null) null.asInstanceOf[Integer]
+      else {
+        var cnt = 0
+        val n = s.length
+        var i = 0
+        while (i < n) {
+          while (i < n && isRegexWs(s.charAt(i))) i += 1
+          val start = i
+          while (i < n && !isRegexWs(s.charAt(i))) i += 1
+          if (i > start && set.contains(s.substring(start, i))) cnt += 1
+        }
+        Integer.valueOf(cnt)
+      }
+    })
+    u(lowered)
+  }
 
   /** BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric marks each count as one token — a cheap deterministic
-    * stand-in for a real tokenizer's token count. */
-  def subwordCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    * stand-in for a real tokenizer's token count. Kernel equivalent of
+    * `size(regexp_extract_all(lower(text), "[a-z]+|[0-9]+|[^a-z0-9\\s]"))`:
+    * Java alternation is leftmost-first, so at an alpha char the greedy
+    * first branch takes the maximal alpha run, at a digit the second takes
+    * the digit run, and any other non-whitespace char matches the third
+    * branch alone — exactly the scan below. */
+  def subwordCount(text: Column): Column = subwordUdf(lower(text))
+  private val subwordUdf = udf((s: String) => {
+    if (s == null) null.asInstanceOf[Integer]
+    else {
+      var cnt = 0
+      val n = s.length
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c >= 'a' && c <= 'z') { while (i < n && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1; cnt += 1 }
+        else if (c >= '0' && c <= '9') { while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1; cnt += 1 }
+        else { if (!isRegexWs(c)) cnt += 1; i += 1 }
+      }
+      Integer.valueOf(cnt)
+    }
+  })
+
+  /** Count of chars outside [A-Za-z0-9] and regex-`\s` — kernel equivalent
+    * of `size(regexp_extract_all(text, "[^A-Za-z0-9\\s]", 0))` (each match
+    * is one char, so the list size IS the char count, minus the per-match
+    * string allocations). Shared by [[quality]] and the curation decision
+    * table. */
+  def punctCount(text: Column): Column = punctUdf(text)
+  private val punctUdf = udf((s: String) => {
+    if (s == null) null.asInstanceOf[Integer]
+    else {
+      var cnt = 0
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (!alnum && !isRegexWs(c)) cnt += 1
+        i += 1
+      }
+      Integer.valueOf(cnt)
+    }
+  })
 
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "for", "on", "with", "at", "by")
@@ -55,8 +149,7 @@ object TextStats {
     val toks = tokens(col("text"))
     val nChars = length(col("text")).cast("double")
     val nToks = size(toks).cast("double")
-    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-      .cast("double")
+    val punct = punctCount(col("text")).cast("double")
     val stop = markerCount(lower(col("text")), enStop).cast("double")
     val distinctRatio = size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1.0))
     docs.select(
@@ -89,8 +182,8 @@ object TextStats {
     * oracle recomputes them relationally). */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val k = udf((text: String) => {
-      val toks = (if (text == null) "" else text)
-        .toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = graft.ops.TextStats.wsTokensKernel(
+        (if (text == null) "" else text).toLowerCase)
       val n = toks.length
       val dupW = if (n == 0) 0.0 else (n - toks.distinct.length).toDouble / n
       var topBg = 0.0
@@ -221,8 +314,7 @@ object TextStats {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ts = (if (text == null) "" else text)
-          .split("\\s+").filter(_.nonEmpty)
+        val ts = wsTokensKernel(if (text == null) "" else text)
         Iterator.range(0, ts.length, strideTokens).map { st =>
           val end = math.min(st + windowTokens, ts.length)
           (id, st / strideTokens, end - st, ts.slice(st, end).mkString(" "))

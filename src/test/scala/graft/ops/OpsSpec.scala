@@ -126,6 +126,35 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
+  test("hashed shingle tokens are injective on the oracle corpora") {
+    // the candidate stage runs on wordShingleHashesKernel's 64-bit tokens;
+    // the prefix-filter recall argument is fully constructive whenever the
+    // corpus's shingle-string -> hash mapping is injective (same doc ->
+    // same windows, and the hash is a pure function of the word sequence,
+    // so GLOBAL distinct-count equality proves injectivity). Assert it on
+    // every oracle-graded corpus size and each shingleN in use, plus the
+    // per-doc set-size agreement the size filters rely on.
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val texts = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select($"text").as[String].collect()
+      for (n <- Seq(3, 4)) {
+        val allGrams = scala.collection.mutable.HashSet.empty[String]
+        val allHashes = scala.collection.mutable.HashSet.empty[Long]
+        texts.foreach { t =>
+          val grams = Dedup.wordShinglesKernel(t, n)
+          val hashes = Dedup.wordShingleHashesKernel(t, n)
+          assert(hashes.length == grams.size,
+            s"per-doc hashed set size diverged at $sf n=$n")
+          allGrams ++= grams
+          allHashes ++= hashes
+        }
+        assert(allGrams.size == allHashes.size,
+          s"shingle hash collision inside $sf n=$n vocabulary")
+      }
+    }
+  }
+
   test("simhash combination blocking keeps recall 1.0 and the cap drops hot buckets") {
     import spark.implicits._
     // 600 docs: 500 exact copies of one text (a pathological hot bucket)
